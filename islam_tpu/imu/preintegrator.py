@@ -1,0 +1,90 @@
+"""IMU preintegration as a single lax.scan over samples.
+
+TPU-native replacement for ``pp.module.IMUPreintegrator`` as driven by the
+reference's per-frame python loop (imu_integrator.py:116-158).  The reference
+calls the preintegrator once per RGB frame, threading ``last_state`` by hand
+and shipping each frame's result to the host; here ONE scan over the whole
+(padded) sample window integrates the world state at every sample, and
+frame-end states are gathered by index -- no host round-trips, static shapes,
+jit/vmap/grad-safe.
+
+Math (identical to PyPose's Euler zero-order-hold preintegration, verified
+algebraically in tests against a torch re-implementation):
+
+    a_w(k)  = R_k @ acc_k + g_w            g_w = (0, 0, -gravity)
+    pos_{k+1} = pos_k + vel_k dt + 0.5 a_w dt^2
+    vel_{k+1} = vel_k + a_w dt
+    q_{k+1} = q_k  *  Exp(gyro_k dt)
+
+Padded samples carry ``valid=0`` and are integrated as dt=0 no-ops, so any
+window length can be baked into a fixed S_max.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from islam_tpu import lie
+
+
+class IMUState(NamedTuple):
+    pos: jax.Array  # (..., 3) world position
+    rot: jax.Array  # (..., 4) world quaternion (x, y, z, w)
+    vel: jax.Array  # (..., 3) world velocity
+
+
+def preintegrate(dts: jax.Array, gyros: jax.Array, accels: jax.Array,
+                 init: IMUState, gravity: float | jax.Array,
+                 valid: jax.Array | None = None) -> IMUState:
+    """Integrate S samples; returns per-sample states stacked over axis 0.
+
+    Args:
+        dts: (S,) or (S, 1) sample durations.
+        gyros / accels: (S, 3) body-frame angular rate / specific force.
+        init: world state at the start of the window.
+        gravity: scalar magnitude; world gravity vector is (0, 0, -gravity).
+        valid: optional (S,) bool; invalid samples are dt=0 no-ops.
+
+    Returns:
+        IMUState of arrays shaped (S, 3/4/3): state AFTER each sample.
+    """
+    dts = jnp.reshape(dts, (-1, 1)).astype(accels.dtype)
+    if valid is not None:
+        dts = dts * valid.reshape(-1, 1).astype(dts.dtype)
+    g_w = jnp.asarray([0.0, 0.0, -1.0], dtype=accels.dtype) * jnp.asarray(
+        gravity, dtype=accels.dtype)
+
+    def step(carry, inp):
+        pos, q, vel = carry
+        dt, gyro, acc = inp
+        a_w = lie.quat_rotate(q, acc) + g_w
+        new_pos = pos + vel * dt[0] + 0.5 * a_w * dt[0] ** 2
+        new_vel = vel + a_w * dt[0]
+        new_q = lie.quat_mul(q, lie.so3_exp(gyro * dt[0]))
+        return (new_pos, new_q, new_vel), (new_pos, new_q, new_vel)
+
+    init_c = (jnp.asarray(init.pos, accels.dtype),
+              jnp.asarray(init.rot, accels.dtype),
+              jnp.asarray(init.vel, accels.dtype))
+    _, (poss, qs, vels) = jax.lax.scan(step, init_c, (dts, gyros, accels))
+    return IMUState(pos=poss, rot=qs, vel=vels)
+
+
+def frame_states(states: IMUState, init: IMUState,
+                 frame_ends: jax.Array) -> IMUState:
+    """Gather states at per-frame end sample indices.
+
+    ``frame_ends[i]`` = index of the LAST sample of frame i within the window
+    (i.e. sync[i+1]-1 relative to the window start); a value of -1 selects the
+    init state (frame with zero samples).
+    """
+    full = IMUState(
+        pos=jnp.concatenate([init.pos[None], states.pos], axis=0),
+        rot=jnp.concatenate([init.rot[None], states.rot], axis=0),
+        vel=jnp.concatenate([init.vel[None], states.vel], axis=0),
+    )
+    idx = frame_ends + 1  # shift: -1 -> 0 (init)
+    return IMUState(pos=full.pos[idx], rot=full.rot[idx], vel=full.vel[idx])
