@@ -1,0 +1,174 @@
+"""PWC-DC optical-flow network for TPU.
+
+TPU-native rebuild of ``PWCDCNet`` (Network/PWC/PWCNet.py:58-294): 6-level
+siamese conv pyramid, per-level warp + local correlation (the reference's
+CUDA kernel, here islam_tpu.ops.correlation) + DenseNet-style decoder +
+deconv upsampling, and the dilated context refiner.  NHWC throughout; the
+correlation/warp ops take NHWC directly so no layout shuffles hit the hot
+path.  Outputs 5 scales of flow, finest first, matching PWCNet.py:291.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from islam_tpu.models.layers import Conv2d, ConvT2d, leaky_relu
+from islam_tpu.ops.correlation import correlation
+from islam_tpu.ops.warp import flow_warp
+
+
+class ConvLeaky(nn.Module):
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2d(self.features, self.kernel_size, self.stride,
+                   self.padding, self.dilation, name="conv")(x)
+        return leaky_relu(x, 0.1)
+
+
+def _corr_nhwc(f1, f2, md=4):
+    """Correlation on NHWC tensors -> NHWC output with (2md+1)^2 channels."""
+    out = correlation(jnp.moveaxis(f1, -1, 1), jnp.moveaxis(f2, -1, 1), md=md)
+    return jnp.moveaxis(out, 1, -1)
+
+
+def _warp_nhwc(x, flo):
+    return jnp.moveaxis(
+        flow_warp(jnp.moveaxis(x, -1, 1), jnp.moveaxis(flo, -1, 1)), 1, -1)
+
+
+class PWCDCNet(nn.Module):
+    md: int = 4
+    flow_norm: float = 20.0
+    uncertainty: bool = False  # main path uses False (Network/VONet.py:10)
+
+    def setup(self):
+        # Siamese pyramid (PWCNet.py:78-95)
+        chans = [(3, 16), (16, 16), (16, 16)]
+        self.conv1a = ConvLeaky(16, 3, 2, 1)
+        self.conv1aa = ConvLeaky(16, 3, 1, 1)
+        self.conv1b = ConvLeaky(16, 3, 1, 1)
+        self.conv2a = ConvLeaky(32, 3, 2, 1)
+        self.conv2aa = ConvLeaky(32, 3, 1, 1)
+        self.conv2b = ConvLeaky(32, 3, 1, 1)
+        self.conv3a = ConvLeaky(64, 3, 2, 1)
+        self.conv3aa = ConvLeaky(64, 3, 1, 1)
+        self.conv3b = ConvLeaky(64, 3, 1, 1)
+        self.conv4a = ConvLeaky(96, 3, 2, 1)
+        self.conv4aa = ConvLeaky(96, 3, 1, 1)
+        self.conv4b = ConvLeaky(96, 3, 1, 1)
+        self.conv5a = ConvLeaky(128, 3, 2, 1)
+        self.conv5aa = ConvLeaky(128, 3, 1, 1)
+        self.conv5b = ConvLeaky(128, 3, 1, 1)
+        self.conv6aa = ConvLeaky(196, 3, 2, 1)
+        self.conv6a = ConvLeaky(196, 3, 1, 1)
+        self.conv6b = ConvLeaky(196, 3, 1, 1)
+
+        # Decoder blocks per level (PWCNet.py:107-153)
+        def dec(name):
+            return (
+                ConvLeaky(128, 3, 1, 1, name=f"{name}_0"),
+                ConvLeaky(128, 3, 1, 1, name=f"{name}_1"),
+                ConvLeaky(96, 3, 1, 1, name=f"{name}_2"),
+                ConvLeaky(64, 3, 1, 1, name=f"{name}_3"),
+                ConvLeaky(32, 3, 1, 1, name=f"{name}_4"),
+            )
+
+        self.dec6 = dec("conv6")
+        self.dec5 = dec("conv5")
+        self.dec4 = dec("conv4")
+        self.dec3 = dec("conv3")
+        self.dec2 = dec("conv2")
+
+        self.predict_flow6 = Conv2d(2, 3, 1, 1, name="predict_flow6")
+        self.predict_flow5 = Conv2d(2, 3, 1, 1, name="predict_flow5")
+        self.predict_flow4 = Conv2d(2, 3, 1, 1, name="predict_flow4")
+        self.predict_flow3 = Conv2d(2, 3, 1, 1, name="predict_flow3")
+        self.predict_flow2 = Conv2d(2, 3, 1, 1, name="predict_flow2")
+
+        self.deconv6 = ConvT2d(2, 4, 2, 1)
+        self.deconv5 = ConvT2d(2, 4, 2, 1)
+        self.deconv4 = ConvT2d(2, 4, 2, 1)
+        self.deconv3 = ConvT2d(2, 4, 2, 1)
+        self.upfeat6 = ConvT2d(2, 4, 2, 1)
+        self.upfeat5 = ConvT2d(2, 4, 2, 1)
+        self.upfeat4 = ConvT2d(2, 4, 2, 1)
+        self.upfeat3 = ConvT2d(2, 4, 2, 1)
+
+        # Dilated context network (PWCNet.py:155-161)
+        self.dc_conv1 = ConvLeaky(128, 3, 1, 1, 1)
+        self.dc_conv2 = ConvLeaky(128, 3, 1, 2, 2)
+        self.dc_conv3 = ConvLeaky(128, 3, 1, 4, 4)
+        self.dc_conv4 = ConvLeaky(96, 3, 1, 8, 8)
+        self.dc_conv5 = ConvLeaky(64, 3, 1, 16, 16)
+        self.dc_conv6 = ConvLeaky(32, 3, 1, 1, 1)
+        self.dc_conv7 = Conv2d(2, 3, 1, 1, name="dc_conv7")
+
+    def _multi_scale_conv(self, blocks, x):
+        """DenseNet-style concat chain (PWCNet.py:208-214)."""
+        for blk in blocks:
+            x = jnp.concatenate([blk(x), x], axis=-1)
+        return x
+
+    def _level(self, pred, deconv, upfeat, feat_high, feat_low1, feat_low2,
+               scale):
+        """concate_two_layers (PWCNet.py:216-233)."""
+        flow_high = pred(feat_high)
+        up_flow = deconv(flow_high)
+        up_feat = upfeat(feat_high)
+        warp_feat = _warp_nhwc(feat_low2, up_flow * scale)
+        corr = leaky_relu(_corr_nhwc(feat_low1, warp_feat, self.md), 0.1)
+        x = jnp.concatenate([corr, feat_low1, up_flow, up_feat], axis=-1)
+        return x, flow_high
+
+    def __call__(self, x):
+        """x: (B, H, W, 6) = cat(img0, img1). Returns ((flow2..flow6), uncs)."""
+        im1 = x[..., 0:3]
+        im2 = x[..., 3:6]
+
+        def pyr(im):
+            c1 = self.conv1b(self.conv1aa(self.conv1a(im)))
+            c2 = self.conv2b(self.conv2aa(self.conv2a(c1)))
+            c3 = self.conv3b(self.conv3aa(self.conv3a(c2)))
+            c4 = self.conv4b(self.conv4aa(self.conv4a(c3)))
+            c5 = self.conv5b(self.conv5aa(self.conv5a(c4)))
+            c6 = self.conv6b(self.conv6a(self.conv6aa(c5)))
+            return c1, c2, c3, c4, c5, c6
+
+        c11, c12, c13, c14, c15, c16 = pyr(im1)
+        c21, c22, c23, c24, c25, c26 = pyr(im2)
+
+        corr6 = leaky_relu(_corr_nhwc(c16, c26, self.md), 0.1)
+        x = self._multi_scale_conv(self.dec6, corr6)
+        x, flow6 = self._level(self.predict_flow6, self.deconv6, self.upfeat6,
+                               x, c15, c25, 0.625)
+
+        x = self._multi_scale_conv(self.dec5, x)
+        x, flow5 = self._level(self.predict_flow5, self.deconv5, self.upfeat5,
+                               x, c14, c24, 1.25)
+
+        x = self._multi_scale_conv(self.dec4, x)
+        x, flow4 = self._level(self.predict_flow4, self.deconv4, self.upfeat4,
+                               x, c13, c23, 2.5)
+
+        x = self._multi_scale_conv(self.dec3, x)
+        x, flow3 = self._level(self.predict_flow3, self.deconv3, self.upfeat3,
+                               x, c12, c22, 5.0)
+
+        x = self._multi_scale_conv(self.dec2, x)
+        flow2 = self.predict_flow2(x)
+
+        x = self.dc_conv4(self.dc_conv3(self.dc_conv2(self.dc_conv1(x))))
+        refine = self.dc_conv7(self.dc_conv6(self.dc_conv5(x)))
+        flow2 = flow2 + refine
+
+        return (flow2, flow3, flow4, flow5, flow6), (None,) * 5

@@ -1,0 +1,49 @@
+"""VONet composite: flow + stereo + pose head.
+
+TPU-native rebuild of ``VONet`` (Network/VONet.py:5-39): PWC flow on
+cat(img0, img1) taking the finest scale, StereoNet on the normalized stereo
+pair with 1/4 nearest downsampling, then the pose head on cat(flow,
+intrinsic layer).  NHWC.  Parameter freezing (``fix_parts``) is handled at
+the optimizer level (islam_tpu.train builds the trainable mask), matching
+the reference's requires_grad_(False) scheme (VONet.py:20-26).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from islam_tpu.models.layers import interpolate_scale
+from islam_tpu.models.pwcnet import PWCDCNet
+from islam_tpu.models.stereonet import StereoNet7
+from islam_tpu.models.voflownet import VOFlowRes
+
+
+class VONet(nn.Module):
+    train_bn: bool = True
+
+    def setup(self):
+        self.flowNet = PWCDCNet()
+        self.stereoNet = StereoNet7(train_bn=self.train_bn)
+        self.flowPoseNet = VOFlowRes(intrinsic=True, down_scale=True,
+                                     config=1, stereo=0)
+
+    def __call__(self, img0, img1, img0_norm, img0_r_norm, intrinsic):
+        """All inputs NHWC; intrinsic is the 1/4-scale 2-channel ray map.
+
+        Returns (flow (B,h,w,2) at 1/4 res, disp (B,h,w,1) at 1/4 res,
+        pose (B,6) normalized).
+        """
+        flows, _ = self.flowNet(jnp.concatenate([img0, img1], axis=-1))
+        flow = flows[0]
+
+        disp, _ = self.stereoNet(
+            jnp.concatenate([img0_norm, img0_r_norm], axis=-1))
+        disp = interpolate_scale(disp, 0.25, mode="nearest")
+
+        x = jnp.concatenate([flow, intrinsic], axis=-1)
+        pose = self.flowPoseNet(x)
+        return flow, disp, pose

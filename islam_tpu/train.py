@@ -1,0 +1,450 @@
+"""Imperative bi-level training driver.
+
+Rebuild of the reference orchestrator (train.py:28-311) around ONE jitted
+XLA program per training step: VO forward -> IMU preintegration scan -> PVGO
+LM solve -> upper-level loss -> parameter gradients, with no host round-trips
+inside the step (the north-star requirement, SURVEY.md section 7.7).
+
+Reference semantics preserved:
+- epoch schedule [''] + ['vo', 'imu'] * 100 alternating targets (train.py:151)
+- gradient ACCUMULATION across all windows of an epoch, ONE optimizer step
+  per epoch (train.py:172-179)
+- VO forward replayed from the previous epoch's cached motions during IMU
+  epochs (train.py:204-215)
+- sequential state carry: each window's init state is the previous window's
+  PVGO tail (train.py:296-299), quaternion renormalized
+- trajectory snapshots + per-epoch checkpoints
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from os import makedirs
+from os.path import isdir
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from islam_tpu import lie
+from islam_tpu.imu.module import IMUModule, integrate_window
+from islam_tpu.imu.preintegrator import IMUState
+from islam_tpu.models import tartanvo as tvo
+from islam_tpu.pvgo.run import run_pvgo
+from islam_tpu.transformation import motion2pose, pose2motion_se3
+from islam_tpu.utils.timer import Timer
+from islam_tpu.utils import checkpoints as ckpt
+
+
+# ---------------------------------------------------------------------------
+# Jitted train step
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
+                     "denoise_accel", "denoise_gyro", "loss_weight",
+                     "rot_w", "trans_w"))
+def train_step(vo_variables, dn_params, batch, imu_win, init_state,
+               rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
+               target="vo", datatype="kitti", correct_scale=False,
+               use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
+               loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
+               prev_motions=None):
+    """One imperative step over a window of B frame-pairs.
+
+    batch: dict of device arrays (img0, img1, img0_norm, img0_r_norm,
+        intrinsic, intrinsic_calib, extrinsic, links, dts, motion?).
+    imu_win: (dts, gyros, accels, n_valid, frame_ends, has_frame) padded
+        window inputs from IMUModule.window_inputs.
+    init_state: IMUState world init for this window.
+    prev_motions: (B, 7) cached motions for replay epochs (target != 'vo').
+
+    Returns (loss, grads, aux) where grads matches the trainable pytree of
+    the target ('vo' -> flowPoseNet params, 'imu' -> denoiser params).
+    """
+    links = batch["links"]
+    dts = batch["dts"]
+
+    def compute(trainable):
+        if target == "vo":
+            variables = _merge_pose_params(vo_variables, trainable)
+            dn = dn_params
+        else:
+            variables = vo_variables
+            dn = trainable
+
+        # ----- VO forward (skipped and replayed during IMU epochs,
+        # train.py:204-215) -----
+        if target == "vo" or prev_motions is None:
+            baseline = jnp.linalg.norm(batch["extrinsic"][:, :3], axis=1)
+            res = tvo.forward(
+                variables, batch["img0"], batch["img1"], batch["img0_norm"],
+                batch["img0_r_norm"], batch["intrinsic"],
+                batch["intrinsic_calib"], baseline,
+                gt_motion=batch.get("motion"),
+                datatype=datatype, correct_scale=correct_scale,
+                use_kitti_coord=use_kitti_coord, is_train=True,
+                has_given_scale=False, has_precalc_flow=False)
+            motions = res["motion"]
+            # camera -> IMU frame conjugation (train.py:214-215)
+            T_IL = rgb2imu_pose
+            motions = lie.se3_mul(
+                T_IL[None], lie.se3_mul(motions, lie.se3_inv(T_IL)[None]))
+        else:
+            motions = prev_motions
+
+        # ----- IMU preintegration (both modes from one scan) -----
+        win_dts, win_gyros, win_accels, n_valid, frame_ends, has_frame = imu_win
+        imu = integrate_window(
+            dn, win_dts, win_gyros, win_accels, n_valid, frame_ends,
+            has_frame, init_state, gravity, accel_bias, gyro_bias,
+            subtract_bias,
+            denoise_accel=denoise_accel, denoise_gyro=denoise_gyro)
+
+        imu_poses = jnp.concatenate([imu["pos"], imu["rot"]], axis=1)
+        imu_vels = imu["vel"]
+
+        # ----- PVGO -----
+        trans_loss, rot_loss, pgo_poses, pgo_vels, _ = run_pvgo(
+            imu_poses, imu_vels, motions, links, dts,
+            imu["drot"], imu["dpos"], imu["dvel"],
+            radius=1e4, loss_weight=loss_weight, target=target)
+
+        loss = jnp.sum(rot_w * rot_loss) + jnp.sum(trans_w * trans_loss)
+        aux = {
+            "motions": jax.lax.stop_gradient(motions),
+            "imu_poses": imu_poses, "imu_vels": imu_vels,
+            "pgo_poses": pgo_poses, "pgo_vels": pgo_vels,
+            "trans_loss": jnp.sum(trans_loss), "rot_loss": jnp.sum(rot_loss),
+        }
+        return loss, aux
+
+    if target == "vo":
+        trainable = _get_pose_params(vo_variables)
+    elif target == "imu":
+        trainable = dn_params
+    else:
+        loss, aux = compute(_get_pose_params(vo_variables))
+        return loss, None, aux
+
+    (loss, aux), grads = jax.value_and_grad(
+        compute, has_aux=True)(trainable)
+    return loss, grads, aux
+
+
+def _get_pose_params(variables):
+    return variables["params"]["flowPoseNet"]
+
+
+def _merge_pose_params(variables, pose_params):
+    params = dict(variables["params"])
+    params["flowPoseNet"] = pose_params
+    out = dict(variables)
+    out["params"] = params
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side trainer
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    """Owns dataset iteration, state carry, grad accumulation, snapshots."""
+
+    def __init__(self, args, dataset):
+        import optax
+
+        self.args = args
+        self.dataset = dataset
+        self.timer = Timer()
+
+        # ----- VO model -----
+        self.vo_variables = tvo.init_params(jax.random.PRNGKey(0))
+        if args.vo_model_name:
+            sd = ckpt.load_torch_state_dict(args.vo_model_name)
+            self.vo_variables = ckpt.import_torch_weights(self.vo_variables, sd)
+        if args.pose_model_name:
+            sd = ckpt.load_torch_state_dict(args.pose_model_name)
+            self.vo_variables = ckpt.import_torch_weights(self.vo_variables, sd)
+
+        opt = {
+            "adam": optax.adam, "rmsprop": optax.rmsprop, "sgd": optax.sgd,
+        }[args.vo_optimizer]
+        self.vo_opt = opt(args.lr)
+        self.vo_opt_state = self.vo_opt.init(
+            _get_pose_params(self.vo_variables))
+
+        # ----- IMU module -----
+        dn_params = None
+        if args.imu_denoise_model_name:
+            from islam_tpu.imu import denoiser as dn
+            dn_params = dn.init_params(jax.random.PRNGKey(1))
+            sd = ckpt.load_torch_state_dict(args.imu_denoise_model_name)
+            dn_params = _import_denoiser(dn_params, sd)
+        self.dn_params = dn_params
+
+        self.imu_module = IMUModule(
+            dataset.accels, dataset.gyros, dataset.imu_dts,
+            dataset.accel_bias, dataset.gyro_bias,
+            init=dataset.imu_init, gravity=dataset.gravity,
+            rgb2imu_sync=dataset.rgb2imu_sync,
+            denoise_params=dn_params, denoise_accel=True,
+            denoise_gyro=(dataset.datatype != "kitti"),
+            batch_frames=args.batch_size)
+
+        if dn_params is not None:
+            self.imu_opt = optax.adam(3e-5)
+            self.imu_opt_state = self.imu_opt.init(dn_params)
+
+        self.rgb2imu_pose = jnp.asarray(np.asarray(dataset.rgb2imu_pose),
+                                        jnp.float32)
+        self.train_target = [""] + ["vo", "imu"] * 100
+        self.prev_vo_motions = None
+
+    # ---- batch prep ----
+    def device_batch(self, sample, current_idx):
+        b = {}
+        for k in ("img0", "img1", "img0_norm", "img0_r_norm", "intrinsic",
+                  "intrinsic_calib", "extrinsic", "motion"):
+            if k in sample:
+                b[k] = jnp.asarray(sample[k])
+        b["links"] = jnp.asarray(np.asarray(sample["link"]) - current_idx)
+        b["dts"] = jnp.asarray(np.asarray(sample["dt"], np.float32))
+        return b
+
+    def run_epoch(self, epoch, snapshot_dir=None, snapshot_interval=None,
+                  max_steps=None):
+        args = self.args
+        target = self.train_target[epoch]
+        B = args.batch_size
+        n_batches = len(self.dataset) // B
+        if max_steps is not None:
+            n_batches = min(n_batches, max_steps)
+
+        init_state_np = dict(self.dataset.imu_init)
+        grad_accum = None
+        traj = _TrajLogs(init_state_np)
+        epoch_motions = []
+
+        for bi in range(n_batches):
+            self.timer.tic("step")
+            current_idx = bi * B
+            sample = self._collate(current_idx, B)
+            batch = self.device_batch(sample, current_idx)
+            imu_win = self.imu_module.window_inputs(
+                current_idx, current_idx + B)
+            init_state = IMUState(
+                pos=jnp.asarray(init_state_np["pos"], jnp.float32),
+                rot=jnp.asarray(init_state_np["rot"], jnp.float32),
+                vel=jnp.asarray(init_state_np["vel"], jnp.float32))
+
+            prev = None
+            if target != "vo" and self.prev_vo_motions is not None:
+                prev = jnp.asarray(
+                    self.prev_vo_motions[current_idx:current_idx + B])
+
+            loss, grads, aux = train_step(
+                self.vo_variables, self.dn_params, batch, imu_win, init_state,
+                self.rgb2imu_pose, self.imu_module.gravity,
+                self.imu_module.accel_bias, self.imu_module.gyro_bias,
+                jnp.asarray(self.imu_module.optm_bias),
+                target=target or "none",
+                datatype=self.dataset.datatype,
+                correct_scale=args.use_gt_scale,
+                use_kitti_coord=(self.dataset.datatype != "tartanair"),
+                denoise_accel=True,
+                denoise_gyro=(self.dataset.datatype != "kitti"),
+                loss_weight=tuple(float(w) for w in args.loss_weight),
+                rot_w=args.rot_w, trans_w=args.trans_w,
+                prev_motions=prev)
+
+            if grads is not None:
+                grad_accum = grads if grad_accum is None else jax.tree_util.tree_map(
+                    jnp.add, grad_accum, grads)
+
+            # ---- host bookkeeping / state carry (train.py:219-299) ----
+            pgo_poses = np.asarray(aux["pgo_poses"])
+            pgo_vels = np.asarray(aux["pgo_vels"])
+            traj.extend(np.asarray(aux["motions"]), pgo_poses, pgo_vels,
+                        np.asarray(aux["imu_poses"]))
+            epoch_motions.append(np.asarray(aux["motions"]))
+
+            init_state_np = {
+                "rot": pgo_poses[-1][3:] / np.linalg.norm(pgo_poses[-1][3:]),
+                "pos": pgo_poses[-1][:3],
+                "vel": pgo_vels[-1],
+            }
+            self.timer.toc("step")
+
+            if snapshot_dir and (bi < 10 or (
+                    snapshot_interval and (bi + 1) % snapshot_interval == 0)):
+                traj.save(snapshot_dir, epoch)
+
+        # ---- ONE optimizer update per epoch (train.py:172-179) ----
+        if grad_accum is not None:
+            if target == "vo":
+                updates, self.vo_opt_state = self.vo_opt.update(
+                    grad_accum, self.vo_opt_state,
+                    _get_pose_params(self.vo_variables))
+                import optax
+                new_pose = optax.apply_updates(
+                    _get_pose_params(self.vo_variables), updates)
+                self.vo_variables = _merge_pose_params(
+                    self.vo_variables, new_pose)
+            elif target == "imu" and self.dn_params is not None:
+                import optax
+                updates, self.imu_opt_state = self.imu_opt.update(
+                    grad_accum, self.imu_opt_state, self.dn_params)
+                self.dn_params = optax.apply_updates(self.dn_params, updates)
+                self.imu_module.denoise_params = self.dn_params
+
+        self.prev_vo_motions = np.concatenate(epoch_motions, axis=0)
+        if snapshot_dir:
+            traj.save(snapshot_dir, epoch)
+        return traj
+
+    def _collate(self, start, B):
+        from islam_tpu.data.dataset import collate
+        return collate([self.dataset[i] for i in range(start, start + B)])
+
+    def save_models(self, directory, epoch):
+        state = {"vo_variables": self.vo_variables}
+        if self.dn_params is not None:
+            state["dn_params"] = self.dn_params
+        ckpt.save_checkpoint(directory, epoch, state)
+
+
+def _import_denoiser(params, sd):
+    out = {
+        "conv1": {"weight": jnp.asarray(sd["conv1.weight"]),
+                  "bias": jnp.asarray(sd["conv1.bias"])},
+        "gru": {k: jnp.asarray(sd[f"gru.{k}"])
+                for k in ("weight_ih_l0", "weight_hh_l0",
+                          "bias_ih_l0", "bias_hh_l0")},
+        "decoder": {
+            "0": {"weight": jnp.asarray(sd["pose_decoder.0.weight"]),
+                  "bias": jnp.asarray(sd["pose_decoder.0.bias"])},
+            "2": {"weight": jnp.asarray(sd["pose_decoder.2.weight"]),
+                  "bias": jnp.asarray(sd["pose_decoder.2.bias"])},
+        },
+    }
+    return out
+
+
+class _TrajLogs:
+    """Trajectory recording + np.savetxt snapshots (train.py:51-61)."""
+
+    def __init__(self, init_state):
+        init_pose = np.concatenate([init_state["pos"], init_state["rot"]])
+        self.vo_motions = []
+        self.vo_poses = [init_pose]
+        self.pgo_motions = []
+        self.pgo_poses = [init_pose]
+        self.pgo_vels = [np.asarray(init_state["vel"])]
+        self.imu_poses = [init_pose]
+        self.imu_motions = []
+
+    def extend(self, motions, pgo_poses, pgo_vels, imu_poses):
+        from scipy.spatial.transform import Rotation as R
+
+        self.vo_motions.extend(motions)
+        # chain VO poses from last
+        T = _se3_np(self.vo_poses[-1])
+        for m in motions:
+            T = T @ _se3_np(m)
+            self.vo_poses.append(_se3_flat(T))
+        for i in range(1, len(pgo_poses)):
+            self.pgo_poses.append(pgo_poses[i])
+            self.pgo_vels.append(pgo_vels[i])
+            self.pgo_motions.append(_se3_flat(
+                np.linalg.inv(_se3_np(pgo_poses[i - 1])) @ _se3_np(pgo_poses[i])))
+        for i in range(1, len(imu_poses)):
+            self.imu_poses.append(imu_poses[i])
+            self.imu_motions.append(_se3_flat(
+                np.linalg.inv(_se3_np(imu_poses[i - 1])) @ _se3_np(imu_poses[i])))
+
+    def save(self, trainroot, epoch):
+        d = f"{trainroot}/{epoch}"
+        if not isdir(d):
+            makedirs(d)
+        np.savetxt(f"{d}/vo_pose.txt", np.stack(self.vo_poses))
+        np.savetxt(f"{d}/pgo_pose.txt", np.stack(self.pgo_poses))
+        np.savetxt(f"{d}/pgo_vel.txt", np.stack(self.pgo_vels))
+        np.savetxt(f"{d}/imu_pose.txt", np.stack(self.imu_poses))
+        if self.vo_motions:
+            np.savetxt(f"{d}/vo_motion.txt", np.stack(self.vo_motions))
+        if self.pgo_motions:
+            np.savetxt(f"{d}/pgo_motion.txt", np.stack(self.pgo_motions))
+        if self.imu_motions:
+            np.savetxt(f"{d}/imu_motion.txt", np.stack(self.imu_motions))
+
+
+def _se3_np(p):
+    from scipy.spatial.transform import Rotation as R
+
+    T = np.eye(4)
+    T[:3, :3] = R.from_quat(np.asarray(p[3:])).as_matrix()
+    T[:3, 3] = np.asarray(p[:3])
+    return T
+
+
+def _se3_flat(T):
+    from scipy.spatial.transform import Rotation as R
+
+    q = R.from_matrix(T[:3, :3]).as_quat()
+    return np.concatenate([T[:3, 3], q]).astype(np.float32)
+
+
+def main(argv=None):
+    from islam_tpu.arguments import get_args
+    from islam_tpu.data.dataset import TrajFolderDataset
+    from islam_tpu.data.synthetic import SyntheticTrajDataset
+    from islam_tpu.data.transforms import (Compose, CropCenter, DownscaleFlow,
+                                           Normalize, ToNHWCTensor)
+
+    args = get_args(argv)
+    print(args)
+
+    mean = [0.485, 0.456, 0.406]
+    std = [0.229, 0.224, 0.225]
+    transform = Compose([
+        CropCenter((448, 640), fix_ratio=True),
+        DownscaleFlow(),
+        Normalize(mean=mean, std=std, keep_old=True),
+        ToNHWCTensor(),
+    ])
+
+    if args.data_type == "synthetic":
+        dataset = SyntheticTrajDataset(transform=transform)
+    else:
+        dataset = TrajFolderDataset(
+            datadir=args.data_root, datatype=args.data_type,
+            transform=transform, start_frame=args.start_frame,
+            end_frame=args.end_frame)
+
+    trainer = Trainer(args, dataset)
+
+    trainroot = args.result_dir or "."
+    if args.result_dir:
+        os.makedirs(trainroot, exist_ok=True)
+        with open(trainroot + "/args.txt", "w") as f:
+            f.write(str(args))
+        np.savetxt(trainroot + "/gt_pose.txt", dataset.poses)
+        np.savetxt(trainroot + "/timestamp.txt", dataset.rgb_ts, fmt="%.3f")
+
+    for epoch in range(args.start_epoch, args.train_epoch + 1):
+        t0 = time.time()
+        trainer.run_epoch(epoch, snapshot_dir=args.result_dir or None,
+                          snapshot_interval=args.snapshot_interval)
+        if args.save_model_dir:
+            trainer.save_models(args.save_model_dir, epoch)
+        print(f"epoch {epoch} target={trainer.train_target[epoch]} "
+              f"time={time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
