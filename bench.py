@@ -1,0 +1,82 @@
+"""Benchmark: full iSLAM imperative iteration on one chip.
+
+Measures the north-star workload (BASELINE.json): VO inference (PWC flow +
+StereoNet disparity + VOFlowNet pose + scale recovery) + IMU preintegration
++ PVGO LM solve + backprop through the upper-level loss, at the reference
+workload constants (448x640 crop, batch of 8 frame-pairs, 9-node PVGO graph,
+<=10 LM iterations, ~10 IMU samples/frame -- BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no absolute timings (BASELINE.md); its
+trainer prints per-step wall-clock only.  We use a documented estimate of
+1.0 s/step for the reference pipeline on its CUDA GPU (PWC+StereoNet forward
+at 448x640 bs=8 + PyPose LM + backward), so vs_baseline = steps_per_sec/1.0,
+i.e. >1 means faster than the estimated reference.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_STEP_SECONDS = 1.0  # documented estimate; see module docstring
+
+H, W, B = 448, 640, 8
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    quick = "--quick" in sys.argv
+    h, w, b = (64, 128, 2) if quick else (H, W, B)
+
+    from islam_tpu import testing
+    from islam_tpu.imu import denoiser as dn
+    from islam_tpu.models import tartanvo as tvo
+    from islam_tpu.train import train_step
+
+    ds = testing.make_dataset(num_frames=b + 1, height=h, width=w)
+    imu = testing.make_imu_module(ds, batch_frames=b)
+    variables = tvo.init_params(jax.random.PRNGKey(0), h, w)
+    dn_params = dn.init_params(jax.random.PRNGKey(1))
+    batch, win, init = testing.make_step_inputs(ds, imu, 0, b)
+
+    kwargs = dict(
+        target="vo", datatype="kitti", correct_scale=False,
+        use_kitti_coord=True, denoise_accel=True, denoise_gyro=False,
+        loss_weight=(1.0, 0.1, 10.0, 0.1), rot_w=1.0, trans_w=0.1)
+
+    args = (variables, dn_params, batch, win, init,
+            jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
+            imu.gravity, imu.accel_bias, imu.gyro_bias, jnp.asarray(False))
+
+    def run_once():
+        loss, grads, aux = train_step(*args, **kwargs)
+        jax.block_until_ready((loss, grads))
+        return float(loss)
+
+    for _ in range(WARMUP):
+        loss = run_once()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        run_once()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    steps_per_sec = 1.0 / dt
+    result = {
+        "metric": "full iSLAM iteration (VO fwd + IMU + PVGO LM + backprop), "
+                  f"bs={b}, {h}x{w}, steps/sec/chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec * REFERENCE_STEP_SECONDS, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,13 @@ def get_args(argv=None):
     parser.add_argument('--imu-lr', type=float, default=1e-5)
     parser.add_argument('--imu-epoch', type=int, default=50)
     parser.add_argument('--use-est-cov', action='store_true', default=False)
+    # islam_tpu extensions (not in the reference flag set)
+    parser.add_argument('--image-height', type=int, default=448,
+                        help='input crop height (default 448)')
+    parser.add_argument('--image-width', type=int, default=640,
+                        help='input crop width (default 640)')
+    parser.add_argument('--synthetic-frames', type=int, default=33,
+                        help='frames for --data-type synthetic')
 
     args = parser.parse_args(argv)
     args.loss_weight = tuple(ast.literal_eval(args.loss_weight))

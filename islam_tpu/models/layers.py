@@ -110,8 +110,10 @@ def resize_bilinear(x, out_hw, align_corners=False):
     H, W = x.shape[1], x.shape[2]
     Ho, Wo = out_hw
     if not align_corners:
+        # antialias=False matches torch F.interpolate(mode='bilinear'),
+        # which never prefilters on downscale.
         return jax.image.resize(x, (x.shape[0], Ho, Wo, x.shape[3]),
-                                method="bilinear")
+                                method="bilinear", antialias=False)
     # align_corners=True: output i samples input at i*(H-1)/(H'-1)
     def coords(n_out, n_in):
         if n_out == 1:

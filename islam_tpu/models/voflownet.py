@@ -113,7 +113,9 @@ class VOFlowRes(nn.Module):
                                 name="feat_net")(x)
         if self.config == 3:
             feat = jnp.mean(feat, axis=(1, 2), keepdims=True)
-        feat = feat.reshape(feat.shape[0], -1)
+        # Flatten in torch NCHW order (VOFlowNet.py:190 x.view(B, -1)) so
+        # imported Dense weights line up with the feature layout.
+        feat = jnp.moveaxis(feat, -1, 1).reshape(feat.shape[0], -1)
 
         t = LinearReLU(128, name="trans_fc1")(feat)
         t = LinearReLU(32, name="trans_fc2")(t)

@@ -58,7 +58,7 @@ def correlation(f1: jax.Array, f2: jax.Array, md: int = MD_DEFAULT,
     if use_pallas:
         try:
             from islam_tpu.ops.pallas.correlation_kernel import correlation_pallas
-            return correlation_pallas(f1, f2, md=md)
+            return correlation_pallas(f1, f2, md)
         except Exception:  # pragma: no cover - pallas unavailable fallback
             pass
     return correlation_reference(f1, f2, md=md)

@@ -163,7 +163,9 @@ class Trainer:
         self.timer = Timer()
 
         # ----- VO model -----
-        self.vo_variables = tvo.init_params(jax.random.PRNGKey(0))
+        peek = dataset[0]
+        h, w = peek["img0"].shape[0], peek["img0"].shape[1]
+        self.vo_variables = tvo.init_params(jax.random.PRNGKey(0), h, w)
         if args.vo_model_name:
             sd = ckpt.load_torch_state_dict(args.vo_model_name)
             self.vo_variables = ckpt.import_torch_weights(self.vo_variables, sd)
@@ -412,14 +414,16 @@ def main(argv=None):
     mean = [0.485, 0.456, 0.406]
     std = [0.229, 0.224, 0.225]
     transform = Compose([
-        CropCenter((448, 640), fix_ratio=True),
+        CropCenter((args.image_height, args.image_width), fix_ratio=True),
         DownscaleFlow(),
         Normalize(mean=mean, std=std, keep_old=True),
         ToNHWCTensor(),
     ])
 
     if args.data_type == "synthetic":
-        dataset = SyntheticTrajDataset(transform=transform)
+        dataset = SyntheticTrajDataset(
+            num_frames=args.synthetic_frames, height=args.image_height,
+            width=args.image_width, transform=transform)
     else:
         dataset = TrajFolderDataset(
             datadir=args.data_root, datatype=args.data_type,

@@ -1,0 +1,38 @@
+#!/bin/bash
+# KITTI preset (mirrors /root/reference/run_kitti.sh:1-41)
+
+data_dir=${1:-data/kitti/2011_09_30/2011_09_30_drive_0018_sync}
+
+loss_weight='(1,0.1,10,0.1)'
+lr=3e-6
+batch_size=8
+train_epoch=31
+
+root_dir=train_results
+train_name=$(date +"%Y%m%d_%H%M%S")_kitti
+
+result_dir=$root_dir/$train_name
+save_model_dir=$root_dir/$train_name/models
+mkdir -p $result_dir $save_model_dir
+
+python -m islam_tpu.train \
+    --result-dir $result_dir \
+    --save-model-dir $save_model_dir \
+    --project-name islam_tpu \
+    --train-name $train_name \
+    --vo-model-name models/stereo_flow_pose.pkl \
+    --imu-denoise-model-name models/imudenoise.pkl \
+    --batch-size $batch_size \
+    --worker-num 2 \
+    --data-root $data_dir \
+    --data-type kitti \
+    --start-frame 0 \
+    --end-frame -1 \
+    --train-epoch $train_epoch \
+    --start-epoch 1 \
+    --lr $lr \
+    --loss-weight $loss_weight \
+    --snapshot-interval 100 \
+    --fix-model-parts flow stereo \
+    --rot-w 1 --trans-w 0.1 \
+    | tee $result_dir/log.txt

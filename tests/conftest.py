@@ -1,14 +1,19 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 TPU hardware is single-chip in CI; multi-chip sharding is validated on
-virtual CPU devices per the build contract.
+virtual CPU devices per the build contract.  NOTE: the axon sitecustomize
+overrides jax_platforms via config (env vars are ignored), so the CPU
+force must go through jax.config too.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

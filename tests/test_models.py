@@ -150,6 +150,30 @@ class TestPWCNetParity:
         torch_pwc.FunctionCorrelation = torch_correlation_oracle
         torch.manual_seed(1)
         tmodel = torch_pwc.PWCDCNet(uncertainty=False).eval()
+
+        # The reference warp hard-codes .cuda() (PWCNet.py:196); swap in a
+        # CPU-safe oracle with identical semantics.
+        import types as _types
+
+        def cpu_warp(self, x, flo):
+            B, C, H, W = x.size()
+            xx = torch.arange(W).view(1, -1).repeat(H, 1)
+            yy = torch.arange(H).view(-1, 1).repeat(1, W)
+            grid = torch.cat([xx.view(1, 1, H, W).repeat(B, 1, 1, 1),
+                              yy.view(1, 1, H, W).repeat(B, 1, 1, 1)],
+                             1).float()
+            vgrid = grid + flo
+            vgrid[:, 0] = 2.0 * vgrid[:, 0] / max(W - 1, 1) - 1.0
+            vgrid[:, 1] = 2.0 * vgrid[:, 1] / max(H - 1, 1) - 1.0
+            vgrid = vgrid.permute(0, 2, 3, 1)
+            out = torch.nn.functional.grid_sample(x, vgrid,
+                                                  align_corners=True)
+            mask = torch.nn.functional.grid_sample(
+                torch.ones_like(x), vgrid, align_corners=True)
+            mask = (mask >= 0.9999).float()
+            return out * mask
+
+        tmodel.warp = _types.MethodType(cpu_warp, tmodel)
         sd = to_numpy_sd(tmodel)
 
         model = PWCDCNet()

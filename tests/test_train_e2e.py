@@ -1,0 +1,110 @@
+"""End-to-end bi-level training tests on tiny synthetic trajectories."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from islam_tpu import testing
+from islam_tpu.imu import denoiser as dn
+from islam_tpu.models import tartanvo as tvo
+from islam_tpu.train import Trainer, train_step
+
+H, W, B = 64, 128, 2
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    ds = testing.make_dataset(num_frames=2 * B + 1, height=H, width=W)
+    imu = testing.make_imu_module(ds, batch_frames=B)
+    variables = tvo.init_params(jax.random.PRNGKey(0), H, W)
+    dn_params = dn.init_params(jax.random.PRNGKey(1))
+    return ds, imu, variables, dn_params
+
+
+def _step(tiny, target, dn_params=None):
+    ds, imu, variables, dn_p = tiny
+    batch, win, init = testing.make_step_inputs(ds, imu, 0, B)
+    return train_step(
+        variables, dn_params if dn_params is not None else dn_p,
+        batch, win, init,
+        jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
+        imu.gravity, imu.accel_bias, imu.gyro_bias, jnp.asarray(False),
+        target=target, datatype="kitti", correct_scale=False,
+        use_kitti_coord=True, denoise_accel=True, denoise_gyro=False,
+        loss_weight=(1.0, 0.1, 10.0, 0.1), rot_w=1.0, trans_w=0.1)
+
+
+class TestTrainStep:
+    def test_vo_target(self, tiny):
+        loss, grads, aux = _step(tiny, "vo")
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert leaves
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert np.isfinite(total) and total > 0
+        assert aux["motions"].shape == (B, 7)
+        assert aux["pgo_poses"].shape == (B + 1, 7)
+
+    def test_imu_target(self, tiny):
+        loss, grads, aux = _step(tiny, "imu")
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert np.isfinite(total) and total > 0
+
+    def test_outputs_consistent_chain(self, tiny):
+        _, _, aux = _step(tiny, "vo")
+        pgo = np.asarray(aux["pgo_poses"])
+        # first pose anchored to the window init (run_pvgo align_to)
+        imu_poses = np.asarray(aux["imu_poses"])
+        np.testing.assert_allclose(pgo[0], imu_poses[0], atol=1e-5)
+
+
+class TestTrainerEpochs:
+    def test_two_epochs_vo_then_imu(self, tiny, tmp_path):
+        ds, _, _, dn_params = tiny
+
+        class Args:
+            batch_size = B
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        trainer = Trainer(Args(), ds)
+        trainer.dn_params = dn_params
+        trainer.imu_module.denoise_params = dn_params
+        import optax
+        trainer.imu_opt = optax.adam(3e-5)
+        trainer.imu_opt_state = trainer.imu_opt.init(dn_params)
+
+        pose_before = jax.tree_util.tree_leaves(
+            trainer.vo_variables["params"]["flowPoseNet"])[0].copy()
+
+        traj = trainer.run_epoch(1, snapshot_dir=str(tmp_path))  # 'vo'
+        assert trainer.prev_vo_motions is not None
+        assert trainer.prev_vo_motions.shape[0] == len(ds) // B * B
+
+        pose_after = jax.tree_util.tree_leaves(
+            trainer.vo_variables["params"]["flowPoseNet"])[0]
+        assert float(jnp.sum(jnp.abs(pose_after - pose_before))) > 0
+
+        dn_before = jax.tree_util.tree_leaves(trainer.dn_params)[0].copy()
+        trainer.run_epoch(2, snapshot_dir=str(tmp_path))  # 'imu' (replay VO)
+        dn_after = jax.tree_util.tree_leaves(trainer.dn_params)[0]
+        assert float(jnp.sum(jnp.abs(dn_after - dn_before))) > 0
+
+        # snapshot files written (train.py:51-61 equivalents)
+        for f in ("vo_pose.txt", "pgo_pose.txt", "pgo_vel.txt",
+                  "imu_pose.txt", "vo_motion.txt", "pgo_motion.txt"):
+            assert (tmp_path / "1" / f).exists(), f
+        poses = np.loadtxt(tmp_path / "1" / "pgo_pose.txt")
+        assert poses.shape[1] == 7 and np.isfinite(poses).all()
