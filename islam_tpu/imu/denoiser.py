@@ -106,3 +106,18 @@ def denoise(params: Dict[str, Any], acc: jax.Array, gyro: jax.Array,
     apply = (n_valid >= TOKEN)
     corr = jnp.where(apply, corr, 0.0)
     return acc + corr[:, :3], gyro + corr[:, 3:]
+
+
+def denoise_and_integrate(params, acc, gyro, dts, init, gravity,
+                          n_valid=None):
+    """Supervised-training variant (``IMUCorrector_CNN_GRU``,
+    Network/IMUDenoiseNet.py:64-110): denoise then preintegrate the
+    corrected stream, returning per-sample world states for direct pose
+    supervision of the denoiser."""
+    from islam_tpu.imu.preintegrator import preintegrate
+
+    if n_valid is None:
+        n_valid = jnp.asarray(acc.shape[0])
+    d_acc, d_gyro = denoise(params, acc, gyro, n_valid)
+    valid = jnp.arange(acc.shape[0]) < n_valid
+    return preintegrate(dts, d_gyro, d_acc, init, gravity, valid=valid)

@@ -46,6 +46,17 @@ def _warp_nhwc(x, flo):
         flow_warp(jnp.moveaxis(x, -1, 1), jnp.moveaxis(flo, -1, 1)), 1, -1)
 
 
+class PredictUncertainty(nn.Module):
+    """predict_uncertainty (PWCNet.py:22-33): 3-conv funnel to 1 channel."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        x = leaky_relu(Conv2d(c // 2, 3, 1, 1, name="conv0")(x), 0.1)
+        x = leaky_relu(Conv2d(c // 4, 3, 1, 1, name="conv1")(x), 0.1)
+        return Conv2d(1, 3, 1, 1, name="conv2")(x)
+
+
 class PWCDCNet(nn.Module):
     md: int = 4
     flow_norm: float = 20.0
@@ -94,6 +105,13 @@ class PWCDCNet(nn.Module):
         self.predict_flow4 = Conv2d(2, 3, 1, 1, name="predict_flow4")
         self.predict_flow3 = Conv2d(2, 3, 1, 1, name="predict_flow3")
         self.predict_flow2 = Conv2d(2, 3, 1, 1, name="predict_flow2")
+        if self.uncertainty:
+            self.unc6 = PredictUncertainty(name="unc6")
+            self.unc5 = PredictUncertainty(name="unc5")
+            self.unc4 = PredictUncertainty(name="unc4")
+            self.unc3 = PredictUncertainty(name="unc3")
+            self.unc2 = PredictUncertainty(name="unc2")
+            self.dc_unc7 = PredictUncertainty(name="dc_unc7")
 
         self.deconv6 = ConvT2d(2, 4, 2, 1)
         self.deconv5 = ConvT2d(2, 4, 2, 1)
@@ -120,15 +138,21 @@ class PWCDCNet(nn.Module):
         return x
 
     def _level(self, pred, deconv, upfeat, feat_high, feat_low1, feat_low2,
-               scale):
+               scale, unc=None):
         """concate_two_layers (PWCNet.py:216-233)."""
         flow_high = pred(feat_high)
+        flow_unc = unc(feat_high) if unc is not None else None
         up_flow = deconv(flow_high)
         up_feat = upfeat(feat_high)
         warp_feat = _warp_nhwc(feat_low2, up_flow * scale)
         corr = leaky_relu(_corr_nhwc(feat_low1, warp_feat, self.md), 0.1)
         x = jnp.concatenate([corr, feat_low1, up_flow, up_feat], axis=-1)
-        return x, flow_high
+        if flow_unc is not None:
+            from islam_tpu.models.layers import resize_bilinear
+            up_unc = resize_bilinear(
+                flow_unc, (up_feat.shape[1], up_feat.shape[2]))
+            x = jnp.concatenate([x, up_unc], axis=-1)
+        return x, flow_high, flow_unc
 
     def __call__(self, x):
         """x: (B, H, W, 6) = cat(img0, img1). Returns ((flow2..flow6), uncs)."""
@@ -147,28 +171,111 @@ class PWCDCNet(nn.Module):
         c11, c12, c13, c14, c15, c16 = pyr(im1)
         c21, c22, c23, c24, c25, c26 = pyr(im2)
 
+        unc = [getattr(self, f"unc{i}", None) if self.uncertainty else None
+               for i in (6, 5, 4, 3)]
+
         corr6 = leaky_relu(_corr_nhwc(c16, c26, self.md), 0.1)
         x = self._multi_scale_conv(self.dec6, corr6)
-        x, flow6 = self._level(self.predict_flow6, self.deconv6, self.upfeat6,
-                               x, c15, c25, 0.625)
+        x, flow6, unc6 = self._level(self.predict_flow6, self.deconv6,
+                                     self.upfeat6, x, c15, c25, 0.625, unc[0])
 
         x = self._multi_scale_conv(self.dec5, x)
-        x, flow5 = self._level(self.predict_flow5, self.deconv5, self.upfeat5,
-                               x, c14, c24, 1.25)
+        x, flow5, unc5 = self._level(self.predict_flow5, self.deconv5,
+                                     self.upfeat5, x, c14, c24, 1.25, unc[1])
 
         x = self._multi_scale_conv(self.dec4, x)
-        x, flow4 = self._level(self.predict_flow4, self.deconv4, self.upfeat4,
-                               x, c13, c23, 2.5)
+        x, flow4, unc4 = self._level(self.predict_flow4, self.deconv4,
+                                     self.upfeat4, x, c13, c23, 2.5, unc[2])
 
         x = self._multi_scale_conv(self.dec3, x)
-        x, flow3 = self._level(self.predict_flow3, self.deconv3, self.upfeat3,
-                               x, c12, c22, 5.0)
+        x, flow3, unc3 = self._level(self.predict_flow3, self.deconv3,
+                                     self.upfeat3, x, c12, c22, 5.0, unc[3])
 
         x = self._multi_scale_conv(self.dec2, x)
         flow2 = self.predict_flow2(x)
+        unc2 = self.unc2(x) if self.uncertainty else None
 
         x = self.dc_conv4(self.dc_conv3(self.dc_conv2(self.dc_conv1(x))))
-        refine = self.dc_conv7(self.dc_conv6(self.dc_conv5(x)))
+        x = self.dc_conv6(self.dc_conv5(x))
+        refine = self.dc_conv7(x)
         flow2 = flow2 + refine
 
-        return (flow2, flow3, flow4, flow5, flow6), (None,) * 5
+        if self.uncertainty:
+            refine_unc = self.dc_unc7(x)
+            unc2 = jnp.log(jnp.exp(unc2) + jnp.exp(refine_unc))
+
+        return (flow2, flow3, flow4, flow5, flow6), \
+            (unc2, unc3, unc4, unc5, unc6)
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale flow supervision helpers (PWCNet.py:296-450).  Pure functions
+# over NHWC arrays; ``criterion`` is e.g. lambda a, b: jnp.mean(abs(a - b)).
+# ---------------------------------------------------------------------------
+
+def scale_targetflow(targetflow, small_scale=False):
+    """GT flow pyramid at the 5 prediction scales (PWCNet.py:296-308)."""
+    from islam_tpu.models.layers import interpolate_scale
+
+    target4 = targetflow if small_scale else interpolate_scale(
+        targetflow, 0.25)
+    targets = [target4]
+    for _ in range(4):
+        targets.append(interpolate_scale(targets[-1], 0.5))
+    return targets
+
+
+def scale_mask(mask, small_scale=False):
+    """Occlusion-mask pyramid; True = supervise (PWCNet.py:310-332)."""
+    from islam_tpu.models.layers import interpolate_scale
+
+    m4 = mask if small_scale else interpolate_scale(mask, 0.25)
+    masks = [m4]
+    for _ in range(4):
+        masks.append(interpolate_scale(masks[-1], 0.5))
+    return [jnp.logical_or(m < 0.5, m > 1) for m in masks]
+
+
+def calc_one_flow_loss(output, target, criterion, mask=None, unc=None,
+                       lamb=1.0):
+    """PWCNet.py:334-347: masked criterion, or the uncertainty-weighted L1."""
+    if unc is None:
+        if mask is not None:
+            w = mask.astype(output.dtype)
+            diff_ok = criterion(output * w, target * w)
+            return diff_ok
+        return criterion(output, target)
+    diff = jnp.abs(output - target)
+    loss_unc = jnp.mean(jnp.exp(-unc) * diff + unc * lamb)
+    return loss_unc / (1.0 + lamb)
+
+
+def calc_flow_loss(outputs, target, criterion, mask=None, uncs=None,
+                   lamb=1.0, training=True):
+    """Multi-scale training loss (PWCNet.py:404-450): mean over the 5 scales
+    plus the finest-scale no-uncertainty loss."""
+    small_scale = target.shape == outputs[0].shape
+    if training:
+        targets = scale_targetflow(target, small_scale)
+        masks = ([None] * 5 if mask is None
+                 else scale_mask(mask, small_scale))
+        losses = []
+        for k in range(5):
+            unc_k = uncs[k] if uncs is not None else None
+            losses.append(calc_one_flow_loss(
+                outputs[k], targets[k], criterion, masks[k], unc_k, lamb))
+        loss = sum(losses) / 5.0
+        loss_nounc = calc_one_flow_loss(outputs[0], targets[0], criterion,
+                                        masks[0], None, lamb)
+        return loss, loss_nounc
+    from islam_tpu.models.layers import interpolate_scale
+
+    out4 = outputs[0] if small_scale else interpolate_scale(outputs[0], 4)
+    unc4 = None
+    if uncs is not None and uncs[0] is not None:
+        unc4 = uncs[0] if small_scale else interpolate_scale(uncs[0], 4)
+    valid = None if mask is None else (mask < 10)
+    loss = calc_one_flow_loss(out4, target, criterion, valid, unc4, lamb)
+    loss_nounc = calc_one_flow_loss(out4, target, criterion, valid, None,
+                                    lamb)
+    return loss, loss_nounc

@@ -249,3 +249,19 @@ class StereoNet7(nn.Module):
         x = nn.relu(Conv2d(16, 1, 1, 0, name="conv_c12")(x))
         out0 = Conv2d(1, 1, 1, 0, name="conv_c13")(x)
         return out0, None
+
+
+def stereo_loss(output, target, criterion, mask=None, unc=None, lamb=1.0):
+    """Disparity supervision (StereoNet7.py:148-167): masked criterion or
+    the uncertainty-weighted L1; returns (loss_unc_or_plain, plain_or_None)."""
+    if mask is not None:
+        w = mask.astype(output.dtype)
+        output = output * w
+        target = target * w
+        if unc is not None:
+            unc = unc * w
+    if unc is None:
+        return criterion(output, target), None
+    diff = jnp.abs(output - target)
+    loss_unc = jnp.mean(jnp.exp(-unc) * diff + unc * lamb)
+    return loss_unc / (1.0 + lamb), jnp.mean(diff)

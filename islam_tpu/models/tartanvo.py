@@ -179,3 +179,13 @@ class TartanVO:
             method=lambda m, x: m.flowNet(x), mutable=["batch_stats"])[0]
         flow = flows[0] * 5.0
         return flow if batched else flow[0]
+
+    def join_flow(self, flow_to_join):
+        """Chain per-step flows into one composite flow (TartanVO.py:219-239).
+
+        ``flow_to_join``: list of (2, H, W) flows in pixel units.
+        """
+        from islam_tpu.ops.warp import join_flow as _join
+
+        h, w = flow_to_join[0].shape[-2:]
+        return _join(flow_to_join, h, w)

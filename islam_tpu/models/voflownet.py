@@ -100,22 +100,44 @@ class FeatureEmbedding(nn.Module):
         return x
 
 
+def _encode_pose_sincos(x, L=10):
+    """Sin/cos positional pose encoding (VOFlowNet.py:173-177)."""
+    c = (2.0 ** jnp.arange(L)) * jnp.pi
+    y = c.reshape(1, -1, 1) * x[:, None, :]
+    return jnp.concatenate([jnp.sin(y), jnp.cos(y)], axis=1).reshape(
+        x.shape[0], -1)
+
+
 class VOFlowRes(nn.Module):
-    """Main pose head. Input NHWC (B, H, W, 4) = cat(flow, intrinsic layer)."""
+    """Main pose head. Input NHWC (B, H, W, 4) = cat(flow, intrinsic layer).
+
+    stereo=2.1/2.2 enables the multi-camera variant
+    (VOFlowNet.py:196-218): separate AB/AC flow embeddings, an extrinsic
+    encoder MLP (or sin/cos encoding), translation head over the fused
+    features, rotation head over the AC embedding.
+    """
     intrinsic: bool = True
     down_scale: bool = True
     config: int = 1
     stereo: float = 0
+    extrinsic_encoder_layers: int = 2
+    trans_head_layers: int = 3
+
+    def _flatten(self, feat):
+        # Flatten in torch NCHW order (VOFlowNet.py:190 x.view(B, -1)) so
+        # imported Dense weights line up with the feature layout.
+        if self.config == 3:
+            feat = jnp.mean(feat, axis=(1, 2), keepdims=True)
+        return jnp.moveaxis(feat, -1, 1).reshape(feat.shape[0], -1)
 
     @nn.compact
     def __call__(self, x, extrinsic=None):
+        if self.stereo in (2.1, 2.2):
+            return self._forward_multicam(x, extrinsic)
+
         feat = FeatureEmbedding(config=self.config, down_scale=self.down_scale,
                                 name="feat_net")(x)
-        if self.config == 3:
-            feat = jnp.mean(feat, axis=(1, 2), keepdims=True)
-        # Flatten in torch NCHW order (VOFlowNet.py:190 x.view(B, -1)) so
-        # imported Dense weights line up with the feature layout.
-        feat = jnp.moveaxis(feat, -1, 1).reshape(feat.shape[0], -1)
+        feat = self._flatten(feat)
 
         t = LinearReLU(128, name="trans_fc1")(feat)
         t = LinearReLU(32, name="trans_fc2")(t)
@@ -125,4 +147,42 @@ class VOFlowRes(nn.Module):
         r = LinearReLU(32, name="rot_fc2")(r)
         r = nn.Dense(3, name="rot_fc3")(r)
 
+        return jnp.concatenate([t, r], axis=1)
+
+    def _forward_multicam(self, x, extrinsic):
+        x_AB = x[..., (0, 1, 4, 5)]
+        x_AC = x[..., (2, 3, 4, 5)]
+
+        feat_net = FeatureEmbedding(config=self.config,
+                                    down_scale=self.down_scale,
+                                    name="feat_net")
+        if self.stereo == 2.2:
+            feat_AB = FeatureEmbedding(config=self.config,
+                                       down_scale=self.down_scale,
+                                       name="feat_net2")(x_AB)
+        else:
+            feat_AB = feat_net(x_AB)
+        feat_AC = feat_net(x_AC)
+        feat_AB = self._flatten(feat_AB)
+        feat_AC = self._flatten(feat_AC)
+
+        if self.extrinsic_encoder_layers >= 1:
+            e = LinearReLU(128, name="extrinsic_fc1")(extrinsic)
+            for i in range(self.extrinsic_encoder_layers - 1):
+                e = LinearReLU(128, name=f"extrinsic_fc{i + 2}")(e)
+        else:
+            e = _encode_pose_sincos(extrinsic)
+
+        ab = LinearReLU(128, name="fcAB_trans")(feat_AB)
+        ac = LinearReLU(128, name="fcAC_trans")(feat_AC)
+        t = jnp.concatenate([ac, ab, e], axis=1)
+        t = LinearReLU(128, name="trans_head_fc1")(t)
+        for i in range(self.trans_head_layers - 3):
+            t = LinearReLU(128, name=f"trans_head_mid{i}")(t)
+        t = LinearReLU(32, name="trans_head_fc2")(t)
+        t = nn.Dense(3, name="trans_head_fc3")(t)
+
+        r = LinearReLU(128, name="rot_fc1")(feat_AC)
+        r = LinearReLU(32, name="rot_fc2")(r)
+        r = nn.Dense(3, name="rot_fc3")(r)
         return jnp.concatenate([t, r], axis=1)

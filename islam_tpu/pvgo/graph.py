@@ -50,6 +50,22 @@ def pvgo_residuals(nodes: jax.Array, vels: jax.Array,
     return pgerr, adjvelerr, imuroterr, transvelerr
 
 
+def reproj_residual(nodes: jax.Array, reproj) -> jax.Array:
+    """Optional 5th factor (pvgo.py:53-61): reprojection error of the
+    consecutive-node motions.  ``reproj`` is a callable SE3 batch -> error
+    (e.g. Dense/SparseReprojectionLoss); output flattened to (M, N*2) when
+    3-D.  (The reference's stray debug write ``motion[0] = 0.1`` at
+    pvgo.py:57 is not reproduced -- the path is dead code in its trainer.)
+    """
+    from islam_tpu.lie import SE3
+
+    motion = SE3(lie.se3_mul(lie.se3_inv(nodes[:-1]), nodes[1:]))
+    err = reproj(motion)
+    if err.ndim == 3:
+        err = err.reshape(err.shape[0], -1)
+    return err
+
+
 def vo_loss(nodes: jax.Array, edges: jax.Array, poses: jax.Array):
     """Upper-level VO loss on DETACHED nodes (pvgo.py:67-78).
 

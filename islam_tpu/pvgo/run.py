@@ -26,11 +26,12 @@ def _as_data(x):
     return jnp.asarray(x)
 
 
-@functools.partial(jax.jit, static_argnames=("target", "radius"))
+@functools.partial(jax.jit,
+                   static_argnames=("target", "radius", "reproj"))
 def run_pvgo(init_nodes, init_vels, vo_motions, links, dts,
              imu_drots, imu_dtrans, imu_dvels,
              radius: float = 1e4, loss_weight=(1., 1., 1., 1.),
-             target: str = "vo"):
+             reproj=None, target: str = "vo"):
     """Solve the pose-velocity graph and return imperative losses.
 
     Args mirror pvgo.py:122-123: ``init_nodes`` SE3 (B+1,7) initial poses
@@ -75,12 +76,20 @@ def run_pvgo(init_nodes, init_vels, vo_motions, links, dts,
             nodes, vels, links, poses_d, drots_d, dtrans_d, dvels_d, dts_d)
         # sqrt(info) scaling: info = w^2 -> scale residual by w so that
         # ||r||^2 reproduces r^T diag(w^2) r (pvgo.py:125-143,162).
-        return jnp.concatenate([
+        blocks = [
             (pgerr * w[0]).reshape(-1),
             (adjvelerr * w[1]).reshape(-1),
             (imuroterr * w[2]).reshape(-1),
             (transvelerr * w[3]).reshape(-1),
-        ])
+        ]
+        if reproj is not None:
+            # info scaled (w4/N)^2 per keypoint (pvgo.py:130-131)
+            rerr = G.reproj_residual(nodes, reproj)
+            n_points = rerr.shape[1] // 2
+            w4 = (jnp.asarray(loss_weight[4], init_vels.dtype)
+                  if len(loss_weight) > 4 else jnp.asarray(1.0))
+            blocks.append((rerr * (w4 / n_points)).reshape(-1))
+        return jnp.concatenate(blocks)
 
     cfg = LMConfig(radius=radius)
     nodes, vels, final_cost, steps = lm_solve_manifold(

@@ -1,0 +1,144 @@
+"""Secondary model/variant coverage: multicam pose head, PWC uncertainty,
+PSMNet alternates, loss helpers, bias calibration, reproj factor in PVGO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+RNG = np.random.default_rng(31)
+
+
+class TestMulticamVOFlow:
+    def test_forward_shapes(self):
+        from islam_tpu.models.voflownet import VOFlowRes
+
+        model = VOFlowRes(stereo=2.1)
+        x = jnp.asarray(RNG.normal(size=(2, 112, 160, 6)), jnp.float32)
+        ext = jnp.asarray(RNG.normal(size=(2, 6)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, ext)
+        out = model.apply(variables, x, ext)
+        assert out.shape == (2, 6)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestPWCUncertainty:
+    def test_forward_with_uncertainty(self):
+        from islam_tpu.models.pwcnet import PWCDCNet
+
+        model = PWCDCNet(uncertainty=True)
+        x = jnp.asarray(RNG.normal(size=(1, 64, 128, 6)) * 0.3, jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        flows, uncs = model.apply(variables, x)
+        assert len(flows) == 5 and len(uncs) == 5
+        assert flows[0].shape == (1, 16, 32, 2)
+        assert uncs[0].shape == (1, 16, 32, 1)
+        for u in uncs:
+            assert u is not None and np.isfinite(np.asarray(u)).all()
+
+    def test_flow_loss_helpers(self):
+        from islam_tpu.models.pwcnet import calc_flow_loss
+
+        flows = [jnp.zeros((1, 16 // (2 ** i) or 1, 32 // (2 ** i) or 1, 2))
+                 for i in range(5)]
+        target = jnp.ones((1, 64, 128, 2))
+        crit = lambda a, b: jnp.mean(jnp.abs(a - b))
+        loss, loss_nounc = calc_flow_loss(flows, target, crit, training=True)
+        np.testing.assert_allclose(float(loss), 1.0, atol=1e-5)
+        np.testing.assert_allclose(float(loss_nounc), 1.0, atol=1e-5)
+
+
+class TestStereoLoss:
+    def test_stereo_loss(self):
+        from islam_tpu.models.stereonet import stereo_loss
+
+        out = jnp.zeros((1, 8, 8, 1))
+        tgt = jnp.ones((1, 8, 8, 1))
+        crit = lambda a, b: jnp.mean(jnp.abs(a - b))
+        loss, _ = stereo_loss(out, tgt, crit)
+        np.testing.assert_allclose(float(loss), 1.0, atol=1e-6)
+        loss_unc, plain = stereo_loss(out, tgt, crit, unc=jnp.zeros_like(out))
+        np.testing.assert_allclose(float(plain), 1.0, atol=1e-6)
+        np.testing.assert_allclose(float(loss_unc), 0.5, atol=1e-6)
+
+
+class TestPSMNet:
+    def test_stackhourglass_shapes(self):
+        from islam_tpu.models.psmnet import PSMNetStackHourglass
+
+        model = PSMNetStackHourglass(maxdisp=16, train_bn=True)
+        x = jnp.asarray(RNG.normal(size=(1, 64, 64, 6)) * 0.2, jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        (disp, _), _ = model.apply(variables, x, mutable=["batch_stats"])
+        assert disp.shape == (1, 16, 64, 64)[0:1] + (1, 64, 64)
+        arr = np.asarray(disp)
+        assert np.isfinite(arr).all()
+        assert arr.min() >= 0 and arr.max() <= 16
+
+    def test_basic_shapes(self):
+        from islam_tpu.models.psmnet import PSMNetBasic
+
+        model = PSMNetBasic(maxdisp=16, train_bn=True)
+        l = jnp.asarray(RNG.normal(size=(1, 64, 64, 3)) * 0.2, jnp.float32)
+        r = jnp.asarray(RNG.normal(size=(1, 64, 64, 3)) * 0.2, jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), l, r)
+        disp, _ = model.apply(variables, l, r, mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(disp)).all()
+
+
+class TestBiasCalibration:
+    def test_recovers_constant_bias(self):
+        from islam_tpu.data.synthetic import SyntheticTrajDataset
+        from islam_tpu.imu.bias import optimize_bias
+
+        ds = SyntheticTrajDataset(num_frames=21)
+        true_bias = np.asarray([0.05, -0.03, 0.02], np.float32)
+        corrupted = ds.accels + true_bias
+        accel_bias, gyro_bias, hist = optimize_bias(
+            lr=1e-2, epochs=40, poses=ds.poses, sync=ds.rgb2imu_sync,
+            accels=corrupted, gyros=ds.gyros,
+            accel_bias=np.zeros(3), gyro_bias=np.zeros(3),
+            dts=ds.imu_dts, init=ds.imu_init, gravity=ds.gravity)
+        assert hist[-1] < hist[0]
+        np.testing.assert_allclose(np.asarray(accel_bias), true_bias,
+                                   atol=0.03)
+
+
+class TestReprojFactor:
+    def test_pvgo_with_sparse_reproj(self):
+        from islam_tpu.ops.dense_ba import SparseReprojectionLoss
+        from islam_tpu.pvgo.run import run_pvgo
+        from tests.test_pvgo import make_problem, B
+
+        p = make_problem(noise=0.02)
+        H, W, N = 24, 32, 16
+        fx = fy = 40.0
+        depth = 5.0 * np.ones((B, H, W), np.float32)
+        flow = np.zeros((B, 2, H, W), np.float32)
+        pts = np.tile(np.stack([RNG.uniform(2, W - 3, N),
+                                RNG.uniform(2, H - 3, N)],
+                               axis=-1)[None], (B, 1, 1)).astype(np.float32)
+        reproj = SparseReprojectionLoss(
+            np.floor(pts), depth, flow, fx, fy, W / 2, H / 2,
+            np.asarray([0, 0, 0, 0, 0, 0, 1], np.float32))
+
+        trans_loss, rot_loss, nodes, vels, _ = run_pvgo(
+            p["gt_poses"].data, jnp.asarray(p["gt_vels"]),
+            p["vo_motions"], p["links"], p["dts"],
+            p["imu_drots"], p["imu_dtrans"], p["imu_dvels"],
+            loss_weight=(1.0, 0.1, 10.0, 0.1, 0.5), reproj=reproj,
+            target="vo")
+        assert np.isfinite(np.asarray(nodes)).all()
+
+
+class TestJoinFlow:
+    def test_zero_flows_interior(self):
+        """The reference's join_flow normalizes without the half-pixel
+        offset (TartanVO.py:231-232), so chaining k zero flows yields a
+        constant -0.5 shift per hop in the interior -- reproduce exactly
+        that, not zero."""
+        from islam_tpu.ops.warp import join_flow
+
+        flows = [jnp.zeros((2, 8, 12))]
+        out = np.asarray(join_flow(flows, 8, 12))
+        np.testing.assert_allclose(out[:, 2:-2, 2:-2], -0.5, atol=1e-4)
