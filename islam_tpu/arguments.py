@@ -52,6 +52,8 @@ def get_args(argv=None):
                         help='input crop width (default 640)')
     parser.add_argument('--synthetic-frames', type=int, default=33,
                         help='frames for --data-type synthetic')
+    parser.add_argument('--profile-dir', default='',
+                        help='write a jax.profiler trace of one train step')
 
     args = parser.parse_args(argv)
     args.loss_weight = tuple(ast.literal_eval(args.loss_weight))

@@ -54,7 +54,8 @@ def correlation(f1: jax.Array, f2: jax.Array, md: int = MD_DEFAULT,
     the XLA formulation elsewhere (CPU tests, interpreters).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # 'axon' is the tunneled-TPU PJRT plugin used in single-chip CI.
+        use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
         try:
             from islam_tpu.ops.pallas.correlation_kernel import correlation_pallas

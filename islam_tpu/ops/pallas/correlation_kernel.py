@@ -7,16 +7,21 @@ TPU-native replacement for the reference's four CUDA kernels
     out[b, (dy+md)*(2md+1)+(dx+md), y, x]
         = (1/C) * sum_c f1[b, c, y, x] * pad(f2)[b, c, y+dy, x+dx]
 
-Design (vs. the naive XLA formulation of 81 shifted elementwise products):
-the kernel holds the full zero-padded second feature map of one batch item
-in VMEM and streams row-blocks of the first map; all (2md+1)^2 displacement
-channels are produced from that single VMEM-resident copy, so HBM traffic is
-O(|f1| + |f2| + |out|) instead of O(81 * |f2|).  The displacement loop is
-unrolled at trace time (static shifts -> static lane slices).
+Kernel design, shaped by Mosaic's tiling rules (sublane-dim slices must be
+8-aligned, so the row shift cannot be a dynamic in-kernel slice):
+
+- The (2md+1) row shifts (dy) are materialized OUTSIDE the kernel as a
+  stacked, width-padded copy ``f2s[b, dy] = pad_w(f2)[:, dy:dy+H, :]`` --
+  one cheap XLA pad+stack, giving every grid step a block-aligned input.
+- Grid is (B, 2md+1): each step owns one dy and emits the (2md+1) dx
+  channels from a single VMEM-resident tile, unrolling the dx loop into
+  STATIC lane-dim slices.
+- HBM traffic is O((2md+1) * (|f1| + |f2|) + |out|) instead of the naive
+  formulation's O((2md+1)^2 * |f2|).
 
 The backward pass uses the transparent XLA formulation via jax.custom_vjp
 (replacing the hand-written CUDA updateGradFirst/Second kernels,
-correlation.py:105-233): both gradients are again 81 shifted products, which
+correlation.py:105-233): both gradients are again shifted products, which
 XLA fuses well at these sizes.
 """
 
@@ -30,51 +35,49 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _corr_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, Hb: int,
-                     H: int, W: int, inv_c: float):
-    """Grid (B, ceil(H/Hb)).
+def _corr_dy_kernel(f1_ref, f2s_ref, out_ref, *, md: int, W: int,
+                    inv_c: float):
+    """Grid (B, 2md+1).
 
-    f1_ref:  (1, C, Hb, W)       row-block of the first feature map
-    f2p_ref: (1, C, H+2md, W+2md) full padded second map (this batch item)
-    out_ref: (1, D2, Hb, W)      D2 = (2md+1)^2 output channels
+    f1_ref:  (1, C, H, W)          first feature map (this batch item)
+    f2s_ref: (1, 1, C, H, W+2md)   dy-shifted, width-padded second map
+    out_ref: (1, 2md+1, H, W)      the dx channels for this dy
     """
-    hb = pl.program_id(1)
-    a = f1_ref[0]  # (C, Hb, W)
+    a = f1_ref[0]          # (C, H, W)
+    b_full = f2s_ref[0, 0]  # (C, H, W + 2md)
     n = 2 * md + 1
-    for dy in range(n):
-        for dx in range(n):
-            b = f2p_ref[0, :, pl.ds(hb * Hb + dy, Hb), pl.ds(dx, W)]
-            out_ref[0, dy * n + dx] = jnp.sum(a * b, axis=0) * inv_c
+    for dx in range(n):
+        b = b_full[:, :, dx:dx + W]  # static lane-dim slice
+        out_ref[0, dx] = jnp.sum(a * b, axis=0) * inv_c
 
 
 @functools.partial(jax.jit, static_argnames=("md",))
 def _corr_fwd(f1: jax.Array, f2: jax.Array, md: int = 4) -> jax.Array:
     B, C, H, W = f1.shape
     n = 2 * md + 1
-    D2 = n * n
-    Hb = min(H, 16)
-    grid = (B, pl.cdiv(H, Hb))
 
+    # f2 padded in H by md each side, in W by md each side; then the n row
+    # shifts stacked: f2s[b, j] = f2p[:, j:j+H, :]  -> (B, n, C, H, W+2md)
     f2p = jnp.pad(f2, ((0, 0), (0, 0), (md, md), (md, md)))
+    f2s = jnp.stack([f2p[:, :, j:j + H, :] for j in range(n)], axis=1)
 
-    kernel = functools.partial(
-        _corr_fwd_kernel, md=md, Hb=Hb, H=H, W=W, inv_c=1.0 / C)
+    kernel = functools.partial(_corr_dy_kernel, md=md, W=W, inv_c=1.0 / C)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, D2, H, W), f1.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((B, n * n, H, W), f1.dtype),
+        grid=(B, n),
         in_specs=[
-            pl.BlockSpec((1, C, Hb, W), lambda b, h: (b, 0, h, 0),
+            pl.BlockSpec((1, C, H, W), lambda b, j: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, H + 2 * md, W + 2 * md),
-                         lambda b, h: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, C, H, W + 2 * md),
+                         lambda b, j: (b, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, D2, Hb, W), lambda b, h: (b, 0, h, 0),
+        out_specs=pl.BlockSpec((1, n, H, W), lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        interpret=jax.default_backend() != "tpu",
-    )(f1, f2p)
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(f1, f2s)
     return out
 
 

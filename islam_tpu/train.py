@@ -206,6 +206,8 @@ class Trainer:
                                         jnp.float32)
         self.train_target = [""] + ["vo", "imu"] * 100
         self.prev_vo_motions = None
+        self.profile_dir = getattr(args, "profile_dir", "")
+        self._profiled = False
 
     # ---- batch prep ----
     def device_batch(self, sample, current_idx):
@@ -249,6 +251,13 @@ class Trainer:
                 prev = jnp.asarray(
                     self.prev_vo_motions[current_idx:current_idx + B])
 
+            # jax.profiler trace of the second step (first is compile),
+            # the TPU analogue of the reference's per-stage Timer prints.
+            profiling = (self.profile_dir and bi == 1 and not self._profiled)
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiled = True
+
             loss, grads, aux = train_step(
                 self.vo_variables, self.dn_params, batch, imu_win, init_state,
                 self.rgb2imu_pose, self.imu_module.gravity,
@@ -263,6 +272,10 @@ class Trainer:
                 loss_weight=tuple(float(w) for w in args.loss_weight),
                 rot_w=args.rot_w, trans_w=args.trans_w,
                 prev_motions=prev)
+
+            if profiling:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
 
             if grads is not None:
                 grad_accum = grads if grad_accum is None else jax.tree_util.tree_map(
