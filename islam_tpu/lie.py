@@ -124,11 +124,16 @@ def matrix_to_quat(m: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def so3_exp(phi: jax.Array) -> jax.Array:
-    """Rotation vector ``[..., 3]`` -> unit quaternion (x, y, z, w)."""
+    """Rotation vector ``[..., 3]`` -> unit quaternion (x, y, z, w).
+
+    Taylor-guarded with the double-where trick so both value AND gradients
+    (any order) are NaN-free at phi = 0.
+    """
     theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    half = 0.5 * theta
     small = theta2 < _EPS
+    # Safe theta: 1.0 in the small branch so the exact branch never sees 0.
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    half = 0.5 * theta
     # sin(t/2)/t: Taylor 1/2 - t^2/48
     k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
     w = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
@@ -136,19 +141,25 @@ def so3_exp(phi: jax.Array) -> jax.Array:
 
 
 def so3_log(q: jax.Array) -> jax.Array:
-    """Unit quaternion -> rotation vector with angle in [0, pi]."""
+    """Unit quaternion -> rotation vector with angle in [0, pi].
+
+    Double-where guarded: at the identity the exact branch would divide by
+    ||qv|| = 0 whose REVERSE-MODE gradient is NaN even when masked, so the
+    norm is computed on a safe surrogate in the small branch.
+    """
     # Force positive scalar part so the returned angle is minimal.
     q = jnp.where(q[..., 3:4] < 0.0, -q, q)
     qv = q[..., :3]
     qw = q[..., 3:4]
-    nv = jnp.linalg.norm(qv, axis=-1, keepdims=True)
-    angle = 2.0 * jnp.arctan2(nv, qw)
-    small = nv < _EPS
+    nv2 = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    small = nv2 < _EPS * _EPS
+    nv_safe = jnp.sqrt(jnp.where(small, 1.0, nv2))
+    qw_safe = jnp.where(jnp.abs(qw) < 1e-12, 1.0, qw)
     # angle/nv ~ 2/qw * (1 - nv^2/(3 qw^2)) for small nv
     scale = jnp.where(
         small,
-        2.0 / jnp.maximum(qw, 1e-12) * (1.0 - nv * nv / (3.0 * jnp.maximum(qw * qw, 1e-12))),
-        angle / jnp.maximum(nv, 1e-24),
+        2.0 / qw_safe * (1.0 - nv2 / (3.0 * qw_safe * qw_safe)),
+        2.0 * jnp.arctan2(nv_safe, qw) / nv_safe,
     )
     return qv * scale
 
@@ -162,14 +173,15 @@ def so3_hat(phi: jax.Array) -> jax.Array:
 
 
 def _so3_left_jacobian_coeffs(phi: jax.Array):
-    """Returns (A, B) with V = I + A [phi]x + B [phi]x^2."""
+    """Returns (A, B) with V = I + A [phi]x + B [phi]x^2. Double-where safe."""
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
     small = theta2 < _EPS
-    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-24))
-    b = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-24)
-    )
+    t2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(t2_safe)
+    a = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta_safe)) / t2_safe)
+    b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta_safe - jnp.sin(theta_safe)) / (t2_safe * theta_safe))
     return a, b
 
 
@@ -182,15 +194,18 @@ def so3_left_jacobian(phi: jax.Array) -> jax.Array:
 
 def so3_left_jacobian_inv(phi: jax.Array) -> jax.Array:
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
     small = theta2 < _EPS
-    half = 0.5 * theta
+    t2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(t2_safe)
+    half = 0.5 * theta_safe
     # c = 1/theta^2 - (1 + cos t) / (2 t sin t) = 1/t^2 - cot(t/2)/(2t)
-    cot_half = jnp.cos(half) / jnp.maximum(jnp.sin(half), 1e-24)
+    sin_half = jnp.sin(half)
+    sin_safe = jnp.where(jnp.abs(sin_half) < 1e-12, 1.0, sin_half)
+    cot_half = jnp.cos(half) / sin_safe
     c = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        1.0 / jnp.maximum(theta2, 1e-24) - cot_half / jnp.maximum(2.0 * theta, 1e-24),
+        1.0 / t2_safe - cot_half / (2.0 * theta_safe),
     )
     k = so3_hat(phi)
     eye = jnp.eye(3, dtype=phi.dtype)

@@ -66,14 +66,20 @@ def reproj_residual(nodes: jax.Array, reproj) -> jax.Array:
     return err
 
 
-def vo_loss(nodes: jax.Array, edges: jax.Array, poses: jax.Array):
-    """Upper-level VO loss on DETACHED nodes (pvgo.py:67-78).
+def vo_loss(nodes: jax.Array, edges: jax.Array, poses: jax.Array,
+            detach_nodes: bool = True):
+    """Upper-level VO loss (pvgo.py:67-78).
 
-    Gradients flow to ``poses`` (the differentiable VO motions) only.
-    Returns per-edge (trans_loss, rot_loss).
+    With ``detach_nodes`` (default, the reference's semantics) gradients
+    flow to ``poses`` only; with False this is vo_loss_unroll
+    (pvgo.py:81-92) and node gradients propagate (used by the implicit /
+    unrolled bi-level modes).  Returns per-edge (trans_loss, rot_loss).
     """
-    n1 = jax.lax.stop_gradient(nodes[edges[:, 0]])
-    n2 = jax.lax.stop_gradient(nodes[edges[:, 1]])
+    n1 = nodes[edges[:, 0]]
+    n2 = nodes[edges[:, 1]]
+    if detach_nodes:
+        n1 = jax.lax.stop_gradient(n1)
+        n2 = jax.lax.stop_gradient(n2)
     err = lie.se3_log(
         lie.se3_mul(lie.se3_inv(poses),
                     lie.se3_mul(lie.se3_inv(n1), n2)))

@@ -119,3 +119,105 @@ def lm_solve_manifold(residual_fn: Callable[[jax.Array, jax.Array], jax.Array],
             jnp.asarray(True))
     nodes, vels, _, cost, _, steps, _ = jax.lax.while_loop(cond, body, init)
     return nodes, vels, cost, steps
+
+
+def lm_solve_unrolled(residual_fn, nodes0, vels0,
+                      iters: int = 5, config: LMConfig = LMConfig()):
+    """Reverse-differentiable fixed-iteration damped Gauss-Newton.
+
+    The unrolled bi-level alternative (cf. the reference's dead-code
+    vo_loss_unroll, pvgo.py:81-92): a ``lax.scan`` over ``iters`` GN steps
+    with constant damping, every op differentiable, so upper-level gradients
+    flow through the whole optimization path.
+    """
+    N = nodes0.shape[0]
+    D = 9 * N
+
+    def apply_delta(nodes, vels, delta):
+        xi = delta[: 6 * N].reshape(N, 6)
+        dv = delta[6 * N:].reshape(N, 3)
+        return lie.se3_retract(nodes, xi), vels + dv
+
+    damping = 1.0 / config.radius
+
+    def step(carry, _):
+        nodes, vels = carry
+        zero = jnp.zeros((D,), vels.dtype)
+        J = jax.jacfwd(
+            lambda d: residual_fn(*apply_delta(nodes, vels, d)))(zero)
+        r = residual_fn(nodes, vels)
+        H = J.T @ J
+        diag = jnp.clip(jnp.diagonal(H), config.damping_min,
+                        config.damping_max)
+        A = H + jnp.diag(diag) * damping + 1e-9 * jnp.eye(D, dtype=H.dtype)
+        delta = -jnp.linalg.solve(A, J.T @ r)
+        return apply_delta(nodes, vels, delta), None
+
+    (nodes, vels), _ = jax.lax.scan(step, (nodes0, vels0), None,
+                                    length=iters)
+    return nodes, vels
+
+
+def lm_solve_implicit(residual_fn_theta, theta, nodes0, vels0,
+                      config: LMConfig = LMConfig()):
+    """LM solve with IMPLICIT-FUNCTION gradients (the north-star alternative
+    to the detached-solution coupling).
+
+    ``residual_fn_theta(nodes, vels, theta) -> (R,)`` must be a pure
+    function: every traced value it uses has to arrive via ``theta`` (a
+    pytree; int leaves like edge indices get float0 cotangents), because
+    custom_vjp functions may not close over tracers.  Forward runs the
+    standard (non-differentiable) trust-region LM; the custom VJP applies
+    the implicit function theorem at the converged solution x*:
+
+        dL/dtheta = -(dg/dtheta)^T H^{-1} xbar,   g = J^T r,  H = d g / d x
+
+    so gradients flow through the solve without unrolling it.
+    """
+    sg = jax.lax.stop_gradient
+
+    @jax.custom_vjp
+    def solve(theta, nodes0, vels0):
+        nodes, vels, _, _ = lm_solve_manifold(
+            lambda n, v: residual_fn_theta(n, v, sg(theta)),
+            nodes0, vels0, config)
+        return nodes, vels
+
+    def fwd(theta, nodes0, vels0):
+        nodes, vels = solve(theta, nodes0, vels0)
+        return (nodes, vels), (nodes, vels, theta)
+
+    def bwd(res, cotangents):
+        nodes, vels, theta = res
+        nbar, vbar = cotangents
+        N = nodes.shape[0]
+        D = 9 * N
+        zero = jnp.zeros((D,), vels.dtype)
+
+        def apply_delta(delta):
+            xi = delta[: 6 * N].reshape(N, 6)
+            dv = delta[6 * N:].reshape(N, 3)
+            return lie.se3_retract(nodes, xi), vels + dv
+
+        def g_fn(delta, th):
+            def cost(d):
+                n2, v2 = apply_delta(d)
+                r = residual_fn_theta(n2, v2, th)
+                return 0.5 * jnp.sum(r * r)
+            return jax.grad(cost)(delta)
+
+        # Full Hessian of the cost in tangent coords at the solution.
+        H = jax.jacfwd(lambda d: g_fn(d, theta))(zero)
+        H = H + 1e-6 * jnp.eye(D, dtype=H.dtype)
+
+        # Map the ambient cotangent to tangent coordinates.
+        _, vjp_delta = jax.vjp(apply_delta, zero)
+        (dbar,) = vjp_delta((nbar, vbar))
+
+        lam = jnp.linalg.solve(H, dbar)
+        _, vjp_th = jax.vjp(lambda th: g_fn(zero, th), theta)
+        (theta_bar,) = vjp_th(-lam)
+        return (theta_bar, jnp.zeros_like(nodes), jnp.zeros_like(vels))
+
+    solve.defvjp(fwd, bwd)
+    return solve(theta, nodes0, vels0)

@@ -27,11 +27,11 @@ def _as_data(x):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("target", "radius", "reproj"))
+                   static_argnames=("target", "radius", "reproj", "bilevel"))
 def run_pvgo(init_nodes, init_vels, vo_motions, links, dts,
              imu_drots, imu_dtrans, imu_dvels,
              radius: float = 1e4, loss_weight=(1., 1., 1., 1.),
-             reproj=None, target: str = "vo"):
+             reproj=None, target: str = "vo", bilevel: str = "detached"):
     """Solve the pose-velocity graph and return imperative losses.
 
     Args mirror pvgo.py:122-123: ``init_nodes`` SE3 (B+1,7) initial poses
@@ -92,12 +92,51 @@ def run_pvgo(init_nodes, init_vels, vo_motions, links, dts,
         return jnp.concatenate(blocks)
 
     cfg = LMConfig(radius=radius)
-    nodes, vels, final_cost, steps = lm_solve_manifold(
-        residual_fn, sg(init_nodes), sg(init_vels), cfg)
 
-    # Upper-level loss on the converged (constant) solution.
+    if bilevel == "detached":
+        # Reference semantics: one-step / detached-solution coupling.
+        nodes, vels, final_cost, steps = lm_solve_manifold(
+            residual_fn, sg(init_nodes), sg(init_vels), cfg)
+        detach_nodes = True
+    else:
+        # North-star alternatives: gradients flow THROUGH the solve.  All
+        # traced values travel inside theta (custom_vjp closure rule).
+        theta = {
+            "poses": vo_motions_grad, "drots": imu_drots_grad,
+            "dtrans": sg(imu_dtrans), "dvels": imu_dvels_grad,
+            "links": links, "dts": dts_d,
+            "w": jnp.stack([w[0], w[1], w[2], w[3]]),
+        }
+
+        def residual_theta(nodes_, vels_, th):
+            pgerr, adjvelerr, imuroterr, transvelerr = G.pvgo_residuals(
+                nodes_, vels_, th["links"], th["poses"], th["drots"],
+                th["dtrans"], th["dvels"], th["dts"])
+            return jnp.concatenate([
+                (pgerr * th["w"][0]).reshape(-1),
+                (adjvelerr * th["w"][1]).reshape(-1),
+                (imuroterr * th["w"][2]).reshape(-1),
+                (transvelerr * th["w"][3]).reshape(-1),
+            ])
+
+        if bilevel == "implicit":
+            from islam_tpu.pvgo.lm import lm_solve_implicit
+            nodes, vels = lm_solve_implicit(
+                residual_theta, theta, sg(init_nodes), sg(init_vels), cfg)
+        elif bilevel == "unrolled":
+            from islam_tpu.pvgo.lm import lm_solve_unrolled
+            nodes, vels = lm_solve_unrolled(
+                lambda n_, v_: residual_theta(n_, v_, theta),
+                sg(init_nodes), sg(init_vels), iters=cfg.max_steps // 2,
+                config=cfg)
+        else:
+            raise ValueError(f"unknown bilevel mode {bilevel}")
+        detach_nodes = False
+
+    # Upper-level loss on the converged solution.
     if target == "vo":
-        trans_loss, rot_loss = G.vo_loss(nodes, links, vo_motions_grad)
+        trans_loss, rot_loss = G.vo_loss(nodes, links, vo_motions_grad,
+                                         detach_nodes=detach_nodes)
     elif target == "imu":
         trans_loss, rot_loss = G.imu_loss(nodes, vels,
                                           imu_drots_grad, imu_dvels_grad)

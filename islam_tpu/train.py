@@ -176,7 +176,24 @@ class Trainer:
         opt = {
             "adam": optax.adam, "rmsprop": optax.rmsprop, "sgd": optax.sgd,
         }[args.vo_optimizer]
-        self.vo_opt = opt(args.lr)
+        base_opt = opt(args.lr)
+        # fix_parts freezing (VONet.py:20-26 / VOFlowNet.py:95-102): flow and
+        # stereo are frozen structurally (only the pose head is optimized,
+        # mirroring train.py:116); pose-head sub-parts freeze via masking.
+        fix_parts = tuple(getattr(args, "fix_model_parts", ()) or ())
+        pose_fix = {"feat": "feat_net", "rot": "rot_", "trans": "trans_"}
+        frozen_prefixes = [pose_fix[p] for p in fix_parts if p in pose_fix]
+        if frozen_prefixes:
+            def trainable_mask(params):
+                def mask_one(path, leaf):
+                    top = path[0].key if hasattr(path[0], "key") else str(path[0])
+                    return not any(top.startswith(p) for p in frozen_prefixes)
+                return jax.tree_util.tree_map_with_path(mask_one, params)
+
+            self.vo_opt = optax.masked(
+                base_opt, trainable_mask(_get_pose_params(self.vo_variables)))
+        else:
+            self.vo_opt = base_opt
         self.vo_opt_state = self.vo_opt.init(
             _get_pose_params(self.vo_variables))
 
@@ -332,6 +349,23 @@ class Trainer:
             state["dn_params"] = self.dn_params
         ckpt.save_checkpoint(directory, epoch, state)
 
+    def resume(self, directory, start_epoch):
+        """Scan {dir}/{k} for k < start_epoch and restore the most recent
+        checkpoint (the reference's resume scan, train.py:102-107,124-129)."""
+        step = ckpt.latest_checkpoint_step(directory, start_epoch)
+        if step is None:
+            return None
+        template = {"vo_variables": self.vo_variables}
+        if self.dn_params is not None:
+            template["dn_params"] = self.dn_params
+        state = ckpt.restore_checkpoint(directory, step, template)
+        self.vo_variables = state["vo_variables"]
+        if "dn_params" in state and state["dn_params"] is not None:
+            self.dn_params = state["dn_params"]
+            self.imu_module.denoise_params = self.dn_params
+        print(f"Resumed from {directory}/{step}")
+        return step
+
 
 def _import_denoiser(params, sd):
     out = {
@@ -444,6 +478,8 @@ def main(argv=None):
             end_frame=args.end_frame)
 
     trainer = Trainer(args, dataset)
+    if args.start_epoch > 1 and args.save_model_dir:
+        trainer.resume(args.save_model_dir, args.start_epoch)
 
     trainroot = args.result_dir or "."
     if args.result_dir:
