@@ -73,7 +73,7 @@ def stereo_rectify(left_intrinsic, left_distortion, right_intrinsic,
     R1, R2, P1, P2, Q, roi1, roi2 = cv2.stereoRectify(
         left_K, left_distortion.astype(np.float64),
         right_K, right_distortion.astype(np.float64),
-        (width, height), R, T, alpha=0)
+        (width, height), R, T.reshape(3, 1), alpha=0)
 
     left_map = cv2.initUndistortRectifyMap(
         left_K, left_distortion.astype(np.float64), R1, P1,
