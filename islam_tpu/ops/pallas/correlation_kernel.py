@@ -37,14 +37,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _corr_dy_kernel(f1_ref, f2s_ref, out_ref, *, md: int, W: int,
                     inv_c: float):
-    """Grid (B, 2md+1).
+    """Grid (B, 2md+1, H/Hb).
 
-    f1_ref:  (1, C, H, W)          first feature map (this batch item)
-    f2s_ref: (1, 1, C, H, W+2md)   dy-shifted, width-padded second map
-    out_ref: (1, 2md+1, H, W)      the dx channels for this dy
+    f1_ref:  (1, C, Hb, W)          row block of the first feature map
+    f2s_ref: (1, 1, C, Hb, W+2md)   matching rows of the dy-shifted,
+                                    width-padded second map (the dy shift is
+                                    baked into f2s, so row blocks align)
+    out_ref: (1, 2md+1, Hb, W)      the dx channels for this dy
     """
-    a = f1_ref[0]          # (C, H, W)
-    b_full = f2s_ref[0, 0]  # (C, H, W + 2md)
+    a = f1_ref[0]          # (C, Hb, W)
+    b_full = f2s_ref[0, 0]  # (C, Hb, W + 2md)
     n = 2 * md + 1
     for dx in range(n):
         b = b_full[:, :, dx:dx + W]  # static lane-dim slice
@@ -61,20 +63,23 @@ def _corr_fwd(f1: jax.Array, f2: jax.Array, md: int = 4) -> jax.Array:
     f2p = jnp.pad(f2, ((0, 0), (0, 0), (md, md), (md, md)))
     f2s = jnp.stack([f2p[:, :, j:j + H, :] for j in range(n)], axis=1)
 
+    # Row blocking keeps the per-step VMEM footprint ~1-2 MB at every
+    # pyramid level (448x640 bs=8 blew the 16 MB scoped limit unblocked).
+    Hb = min(H, 16)
     kernel = functools.partial(_corr_dy_kernel, md=md, W=W, inv_c=1.0 / C)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, n * n, H, W), f1.dtype),
-        grid=(B, n),
+        grid=(B, n, pl.cdiv(H, Hb)),
         in_specs=[
-            pl.BlockSpec((1, C, H, W), lambda b, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, C, Hb, W), lambda b, j, h: (b, 0, h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, H, W + 2 * md),
-                         lambda b, j: (b, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, C, Hb, W + 2 * md),
+                         lambda b, j, h: (b, j, 0, h, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, H, W), lambda b, j: (b, j, 0, 0),
+        out_specs=pl.BlockSpec((1, n, Hb, W), lambda b, j, h: (b, j, h, 0),
                                memory_space=pltpu.VMEM),
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(f1, f2s)
