@@ -32,6 +32,7 @@ ITERS = 10
 
 def main():
     quick = "--quick" in sys.argv
+    bf16 = "--bf16" in sys.argv or "--f32" not in sys.argv
     h, w, b = (64, 128, 2) if quick else (H, W, B)
 
     from islam_tpu import testing
@@ -48,7 +49,8 @@ def main():
     kwargs = dict(
         target="vo", datatype="kitti", correct_scale=False,
         use_kitti_coord=True, denoise_accel=True, denoise_gyro=False,
-        loss_weight=(1.0, 0.1, 10.0, 0.1), rot_w=1.0, trans_w=0.1)
+        loss_weight=(1.0, 0.1, 10.0, 0.1), rot_w=1.0, trans_w=0.1,
+        bf16=bf16)
 
     args = (variables, dn_params, batch, win, init,
             jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
@@ -70,7 +72,8 @@ def main():
     steps_per_sec = 1.0 / dt
     result = {
         "metric": "full iSLAM iteration (VO fwd + IMU + PVGO LM + backprop), "
-                  f"bs={b}, {h}x{w}, steps/sec/chip",
+                  f"bs={b}, {h}x{w}, {'bf16' if bf16 else 'f32'}, "
+                  "steps/sec/chip",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec * REFERENCE_STEP_SECONDS, 4),

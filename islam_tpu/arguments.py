@@ -54,6 +54,8 @@ def get_args(argv=None):
                         help='frames for --data-type synthetic')
     parser.add_argument('--profile-dir', default='',
                         help='write a jax.profiler trace of one train step')
+    parser.add_argument('--bf16', action='store_true', default=False,
+                        help='run the conv stack in bfloat16')
 
     args = parser.parse_args(argv)
     args.loss_weight = tuple(ast.literal_eval(args.loss_weight))

@@ -53,25 +53,43 @@ def init_params(key: jax.Array, height: int = 448, width: int = 640,
 @functools.partial(
     jax.jit,
     static_argnames=("datatype", "correct_scale", "use_kitti_coord",
-                     "is_train", "has_given_scale", "has_precalc_flow"))
+                     "is_train", "has_given_scale", "has_precalc_flow",
+                     "bf16"))
 def forward(variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
             intrinsic_calib, baseline,
             gt_motion=None, given_scale=None, precalc_flow=None,
             datatype: str = "kitti", correct_scale: bool = False,
             use_kitti_coord: bool = True, is_train: bool = True,
-            has_given_scale: bool = False, has_precalc_flow: bool = False):
+            has_given_scale: bool = False, has_precalc_flow: bool = False,
+            bf16: bool = False):
     """Jitted TartanVO forward (TartanVO.py:90-198). All images NHWC.
+
+    ``bf16`` runs the conv stack in bfloat16 (params cast at call time,
+    outputs back to f32 before the geometry stages) -- the TPU-native
+    mixed-precision path (reference's lone knob is
+    torch.set_float32_matmul_precision('high'), train.py:69).
 
     Returns dict with 'motion' (B,7) SE3 data (+ flow/disp/scale extras for
     the stereo scale path).
     """
     model = VONet(train_bn=is_train)
+    if bf16:
+        cast = lambda x: (x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x)
+        net_vars = jax.tree_util.tree_map(cast, variables)
+        net_in = [cast(x) for x in
+                  (img0, img1, img0_norm, img0_r_norm, intrinsic)]
+    else:
+        net_vars = variables
+        net_in = [img0, img1, img0_norm, img0_r_norm, intrinsic]
     # train-mode BatchNorm uses batch statistics and would update running
     # stats; collect and drop the update (the reference's frozen subnets'
     # running stats are never consumed in the training path).
     (flow, disp, pose), _ = model.apply(
-        variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
-        mutable=["batch_stats"])
+        net_vars, *net_in, mutable=["batch_stats"])
+    flow = flow.astype(jnp.float32)
+    disp = disp.astype(jnp.float32)
+    pose = pose.astype(jnp.float32)
 
     pose = pose * POSE_STD  # TartanVO.py:108
     flow = jax.lax.stop_gradient(flow)

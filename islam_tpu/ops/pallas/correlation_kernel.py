@@ -45,12 +45,13 @@ def _corr_dy_kernel(f1_ref, f2s_ref, out_ref, *, md: int, W: int,
                                     baked into f2s, so row blocks align)
     out_ref: (1, 2md+1, Hb, W)      the dx channels for this dy
     """
-    a = f1_ref[0]          # (C, Hb, W)
-    b_full = f2s_ref[0, 0]  # (C, Hb, W + 2md)
+    a = f1_ref[0].astype(jnp.float32)          # (C, Hb, W)
+    b_full = f2s_ref[0, 0].astype(jnp.float32)  # (C, Hb, W + 2md)
     n = 2 * md + 1
     for dx in range(n):
         b = b_full[:, :, dx:dx + W]  # static lane-dim slice
-        out_ref[0, dx] = jnp.sum(a * b, axis=0) * inv_c
+        acc = jnp.sum(a * b, axis=0) * inv_c  # f32 accumulation (bf16-safe)
+        out_ref[0, dx] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("md",))

@@ -47,13 +47,13 @@ from islam_tpu.utils import checkpoints as ckpt
     jax.jit,
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
-                     "rot_w", "trans_w"))
+                     "rot_w", "trans_w", "bf16"))
 def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
-               prev_motions=None):
+               prev_motions=None, bf16=False):
     """One imperative step over a window of B frame-pairs.
 
     batch: dict of device arrays (img0, img1, img0_norm, img0_r_norm,
@@ -88,7 +88,7 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                 gt_motion=batch.get("motion"),
                 datatype=datatype, correct_scale=correct_scale,
                 use_kitti_coord=use_kitti_coord, is_train=True,
-                has_given_scale=False, has_precalc_flow=False)
+                has_given_scale=False, has_precalc_flow=False, bf16=bf16)
             motions = res["motion"]
             # camera -> IMU frame conjugation (train.py:214-215)
             T_IL = rgb2imu_pose
@@ -288,7 +288,7 @@ class Trainer:
                 denoise_gyro=(self.dataset.datatype != "kitti"),
                 loss_weight=tuple(float(w) for w in args.loss_weight),
                 rot_w=args.rot_w, trans_w=args.trans_w,
-                prev_motions=prev)
+                prev_motions=prev, bf16=getattr(args, "bf16", False))
 
             if profiling:
                 jax.block_until_ready(loss)
