@@ -115,9 +115,8 @@ def forward(variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
 
         # Edge mask at 1/4 res (replaces the cv2 Canny round-trip).
         h4, w4 = flow.shape[1], flow.shape[2]
-        img_small = jax.image.resize(
-            img0, (img0.shape[0], h4, w4, 3), method="bilinear",
-            antialias=False)
+        from islam_tpu.models.layers import resize_bilinear
+        img_small = resize_bilinear(img0, (h4, w4), align_corners=False)
         edge = edge_mask(jnp.moveaxis(img_small, -1, 1))  # (B, h4, w4)
 
         flow_nchw = jnp.moveaxis(flow_px, -1, 1)
