@@ -57,19 +57,30 @@ def preintegrate(dts: jax.Array, gyros: jax.Array, accels: jax.Array,
     g_w = jnp.asarray([0.0, 0.0, -1.0], dtype=accels.dtype) * jnp.asarray(
         gravity, dtype=accels.dtype)
 
-    def step(carry, inp):
-        pos, q, vel = carry
-        dt, gyro, acc = inp
-        a_w = lie.quat_rotate(q, acc) + g_w
-        new_pos = pos + vel * dt[0] + 0.5 * a_w * dt[0] ** 2
-        new_vel = vel + a_w * dt[0]
-        new_q = lie.quat_mul(q, lie.so3_exp(gyro * dt[0]))
-        return (new_pos, new_q, new_vel), (new_pos, new_q, new_vel)
+    pos0 = jnp.asarray(init.pos, accels.dtype)
+    q0 = jnp.asarray(init.rot, accels.dtype)
+    vel0 = jnp.asarray(init.vel, accels.dtype)
 
-    init_c = (jnp.asarray(init.pos, accels.dtype),
-              jnp.asarray(init.rot, accels.dtype),
-              jnp.asarray(init.vel, accels.dtype))
-    _, (poss, qs, vels) = jax.lax.scan(step, init_c, (dts, gyros, accels))
+    # Parallel formulation (log-depth on device, no sequential scan):
+    #   qs[k]  = q0 * prefix_prod(Exp(gyro dt))[k]        (associative scan)
+    #   a_w[k] = R(q_{k-1}) acc_k + g                      (q before sample k)
+    #   vel[k] = vel0 + cumsum(a_w dt)[k]
+    #   pos[k] = pos0 + cumsum(vel_{k-1} dt + 0.5 a_w dt^2)[k]
+    # Identical to per-sample Euler integration up to fp reassociation.
+    dq = lie.so3_exp(gyros * dts)
+    prefix = jax.lax.associative_scan(lie.quat_mul, dq, axis=0)
+    qs = lie.quat_mul(q0[None], prefix)
+    q_before = jnp.concatenate([q0[None], qs[:-1]], axis=0)
+
+    a_w = lie.quat_rotate(q_before, accels) + g_w
+    dv = a_w * dts
+    vels = vel0[None] + jnp.cumsum(dv, axis=0)
+    vel_before = jnp.concatenate([vel0[None], vels[:-1]], axis=0)
+    dp = vel_before * dts + 0.5 * a_w * dts * dts
+    poss = pos0[None] + jnp.cumsum(dp, axis=0)
+
+    # Renormalize quaternions (prefix products accumulate rounding).
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
     return IMUState(pos=poss, rot=qs, vel=vels)
 
 
