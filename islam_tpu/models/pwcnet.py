@@ -154,22 +154,30 @@ class PWCDCNet(nn.Module):
             x = jnp.concatenate([x, up_unc], axis=-1)
         return x, flow_high, flow_unc
 
-    def __call__(self, x):
-        """x: (B, H, W, 6) = cat(img0, img1). Returns ((flow2..flow6), uncs)."""
-        im1 = x[..., 0:3]
-        im2 = x[..., 3:6]
+    def _pyramid(self, im):
+        c1 = self.conv1b(self.conv1aa(self.conv1a(im)))
+        c2 = self.conv2b(self.conv2aa(self.conv2a(c1)))
+        c3 = self.conv3b(self.conv3aa(self.conv3a(c2)))
+        c4 = self.conv4b(self.conv4aa(self.conv4a(c3)))
+        c5 = self.conv5b(self.conv5aa(self.conv5a(c4)))
+        c6 = self.conv6b(self.conv6a(self.conv6aa(c5)))
+        return c1, c2, c3, c4, c5, c6
 
-        def pyr(im):
-            c1 = self.conv1b(self.conv1aa(self.conv1a(im)))
-            c2 = self.conv2b(self.conv2aa(self.conv2a(c1)))
-            c3 = self.conv3b(self.conv3aa(self.conv3a(c2)))
-            c4 = self.conv4b(self.conv4aa(self.conv4a(c3)))
-            c5 = self.conv5b(self.conv5aa(self.conv5a(c4)))
-            c6 = self.conv6b(self.conv6a(self.conv6aa(c5)))
-            return c1, c2, c3, c4, c5, c6
-
-        c11, c12, c13, c14, c15, c16 = pyr(im1)
-        c21, c22, c23, c24, c25, c26 = pyr(im2)
+    def __call__(self, x, shared_frames: bool = False):
+        """x: (B, H, W, 6) = cat(img0, img1), or with ``shared_frames``
+        (B+1, H, W, 3) consecutive frames -- the siamese pyramid is computed
+        ONCE per frame and pairs are adjacent slices (saves ~44% of pyramid
+        convs for the trainer's consecutive-pair windows).
+        Returns ((flow2..flow6), uncs)."""
+        if shared_frames:
+            pyr = self._pyramid(x)
+            c11, c12, c13, c14, c15, c16 = (c[:-1] for c in pyr)
+            c21, c22, c23, c24, c25, c26 = (c[1:] for c in pyr)
+        else:
+            im1 = x[..., 0:3]
+            im2 = x[..., 3:6]
+            c11, c12, c13, c14, c15, c16 = self._pyramid(im1)
+            c21, c22, c23, c24, c25, c26 = self._pyramid(im2)
 
         unc = [getattr(self, f"unc{i}", None) if self.uncertainty else None
                for i in (6, 5, 4, 3)]

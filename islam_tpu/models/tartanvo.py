@@ -58,6 +58,7 @@ def init_params(key: jax.Array, height: int = 448, width: int = 640,
 def forward(variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
             intrinsic_calib, baseline,
             gt_motion=None, given_scale=None, precalc_flow=None,
+            frames=None,
             datatype: str = "kitti", correct_scale: bool = False,
             use_kitti_coord: bool = True, is_train: bool = True,
             has_given_scale: bool = False, has_precalc_flow: bool = False,
@@ -75,18 +76,20 @@ def forward(variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
     model = VONet(train_bn=is_train)
     if bf16:
         cast = lambda x: (x.astype(jnp.bfloat16)
-                          if x.dtype == jnp.float32 else x)
+                          if x is not None and x.dtype == jnp.float32 else x)
         net_vars = jax.tree_util.tree_map(cast, variables)
         net_in = [cast(x) for x in
                   (img0, img1, img0_norm, img0_r_norm, intrinsic)]
+        net_frames = cast(frames)
     else:
         net_vars = variables
         net_in = [img0, img1, img0_norm, img0_r_norm, intrinsic]
+        net_frames = frames
     # train-mode BatchNorm uses batch statistics and would update running
     # stats; collect and drop the update (the reference's frozen subnets'
     # running stats are never consumed in the training path).
     (flow, disp, pose), _ = model.apply(
-        net_vars, *net_in, mutable=["batch_stats"])
+        net_vars, *net_in, frames=net_frames, mutable=["batch_stats"])
     flow = flow.astype(jnp.float32)
     disp = disp.astype(jnp.float32)
     pose = pose.astype(jnp.float32)

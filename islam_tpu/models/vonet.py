@@ -31,13 +31,20 @@ class VONet(nn.Module):
         self.flowPoseNet = VOFlowRes(intrinsic=True, down_scale=True,
                                      config=1, stereo=0)
 
-    def __call__(self, img0, img1, img0_norm, img0_r_norm, intrinsic):
+    def __call__(self, img0, img1, img0_norm, img0_r_norm, intrinsic,
+                 frames=None):
         """All inputs NHWC; intrinsic is the 1/4-scale 2-channel ray map.
+        With ``frames`` (B+1, H, W, 3) of consecutive frames, the flow
+        pyramid is shared across adjacent pairs (img0/img1 ignored by the
+        flow net).
 
         Returns (flow (B,h,w,2) at 1/4 res, disp (B,h,w,1) at 1/4 res,
         pose (B,6) normalized).
         """
-        flows, _ = self.flowNet(jnp.concatenate([img0, img1], axis=-1))
+        if frames is not None:
+            flows, _ = self.flowNet(frames, shared_frames=True)
+        else:
+            flows, _ = self.flowNet(jnp.concatenate([img0, img1], axis=-1))
         flow = flows[0]
 
         disp, _ = self.stereoNet(

@@ -51,8 +51,17 @@ def device_batch(sample: Dict, current_idx: int) -> Dict:
               "intrinsic_calib", "extrinsic", "motion"):
         if k in sample:
             b[k] = jnp.asarray(sample[k])
-    b["links"] = jnp.asarray(np.asarray(sample["link"]) - current_idx)
+    links = np.asarray(sample["link"]) - current_idx
+    b["links"] = jnp.asarray(links)
     b["dts"] = jnp.asarray(np.asarray(sample["dt"], np.float32))
+    # Consecutive-pair windows share a frame between adjacent pairs: ship
+    # the B+1 distinct frames so the flow pyramid is computed once each.
+    if np.array_equal(links[:, 1], links[:, 0] + 1) and np.array_equal(
+            links[:, 0], np.arange(len(links))):
+        img0 = np.asarray(sample["img0"])
+        img1 = np.asarray(sample["img1"])
+        b["frames"] = jnp.asarray(
+            np.concatenate([img0, img1[-1:]], axis=0))
     return b
 
 

@@ -86,6 +86,7 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                 batch["img0_r_norm"], batch["intrinsic"],
                 batch["intrinsic_calib"], baseline,
                 gt_motion=batch.get("motion"),
+                frames=batch.get("frames"),
                 datatype=datatype, correct_scale=correct_scale,
                 use_kitti_coord=use_kitti_coord, is_train=True,
                 has_given_scale=False, has_precalc_flow=False, bf16=bf16)
@@ -228,14 +229,8 @@ class Trainer:
 
     # ---- batch prep ----
     def device_batch(self, sample, current_idx):
-        b = {}
-        for k in ("img0", "img1", "img0_norm", "img0_r_norm", "intrinsic",
-                  "intrinsic_calib", "extrinsic", "motion"):
-            if k in sample:
-                b[k] = jnp.asarray(sample[k])
-        b["links"] = jnp.asarray(np.asarray(sample["link"]) - current_idx)
-        b["dts"] = jnp.asarray(np.asarray(sample["dt"], np.float32))
-        return b
+        from islam_tpu.testing import device_batch as _db
+        return _db(sample, current_idx)
 
     def run_epoch(self, epoch, snapshot_dir=None, snapshot_interval=None,
                   max_steps=None):
