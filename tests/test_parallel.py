@@ -1,0 +1,32 @@
+"""Multi-sequence mesh trainer on virtual CPU devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from islam_tpu import testing
+from islam_tpu.parallel.mesh import make_mesh
+from islam_tpu.parallel.trainer import MultiSequenceTrainer
+
+
+class TestMultiSequenceTrainer:
+    def test_epoch_on_2_device_mesh(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        n = 2
+        datasets = [testing.make_dataset(num_frames=5, height=64, width=128,
+                                         seed=s) for s in range(n)]
+        trainer = MultiSequenceTrainer(
+            datasets, batch_size=2, lr=3e-6, mesh=make_mesh(n))
+        before = jax.tree_util.tree_leaves(
+            trainer.vo_variables["params"]["flowPoseNet"])[0].copy()
+        losses = trainer.run_epoch()
+        assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+        after = jax.tree_util.tree_leaves(
+            trainer.vo_variables["params"]["flowPoseNet"])[0]
+        assert float(jnp.sum(jnp.abs(after - before))) > 0
+        # per-sequence state carries diverge (independent trajectories)
+        s0 = np.asarray(trainer._init_states[0]["pos"])
+        s1 = np.asarray(trainer._init_states[1]["pos"])
+        assert not np.allclose(s0, s1)
