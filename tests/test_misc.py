@@ -1,0 +1,93 @@
+"""Smaller subsystems: visualization, timer, resume, join_flow API."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+
+class TestVisualization:
+    def test_visflow_visdepth(self):
+        from islam_tpu.utils.visualization import visdepth, visflow
+
+        flow = np.random.default_rng(0).normal(size=(16, 20, 2)).astype(
+            np.float32) * 10
+        img = visflow(flow)
+        assert img.shape == (16, 20, 3) and img.dtype == np.uint8
+        disp = np.random.default_rng(1).uniform(0, 50, (16, 20))
+        d = visdepth(disp)
+        assert d.shape == (16, 20) and d.dtype == np.uint8
+
+    def test_save_images(self, tmp_path):
+        from islam_tpu.utils.visualization import save_images
+
+        rgb = np.random.default_rng(2).uniform(0, 1, (2, 8, 10, 3))
+        save_images(str(tmp_path), rgb, prefix="t")
+        assert (tmp_path / "t0.png").exists()
+        assert (tmp_path / "t1.png").exists()
+
+    def test_warp_images(self, tmp_path):
+        from islam_tpu.utils.visualization import warp_images
+
+        rgb = np.random.default_rng(3).uniform(0, 1, (1, 32, 40, 3))
+        flow = np.zeros((1, 8, 10, 2), np.float32)
+        out = warp_images(str(tmp_path), rgb, flow)
+        assert out.shape[0] == 1
+        assert (tmp_path / "0_warp.png").exists()
+
+
+class TestTimer:
+    def test_tic_toc(self):
+        from islam_tpu.utils.timer import Timer
+
+        t = Timer()
+        t.tic("a")
+        time.sleep(0.01)
+        dt = t.toc("a")
+        assert dt >= 0.01
+        assert t.last("a") == dt
+        assert t.avg("a") == pytest.approx(dt)
+        assert t.tot("a") == pytest.approx(dt)
+        assert t.toc("never") == 0.0
+
+
+class TestResume:
+    def test_trainer_save_and_resume(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from islam_tpu import testing
+        from islam_tpu.train import Trainer
+
+        ds = testing.make_dataset(num_frames=3, height=64, width=128)
+
+        class Args:
+            batch_size = 2
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        t1 = Trainer(Args(), ds)
+        # perturb then save as epoch 3
+        t1.vo_variables = jax.tree_util.tree_map(
+            lambda x: x + 1.0 if x.dtype == jnp.float32 else x,
+            t1.vo_variables)
+        t1.save_models(str(tmp_path), 3)
+
+        t2 = Trainer(Args(), ds)
+        step = t2.resume(str(tmp_path), start_epoch=5)
+        assert step == 3
+        a = jax.tree_util.tree_leaves(t1.vo_variables["params"])[0]
+        b = jax.tree_util.tree_leaves(t2.vo_variables["params"])[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_resume_none_when_no_checkpoint(self, tmp_path):
+        from islam_tpu.utils.checkpoints import latest_checkpoint_step
+
+        assert latest_checkpoint_step(str(tmp_path), 5) is None
