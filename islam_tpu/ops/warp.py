@@ -13,11 +13,16 @@ import jax
 import jax.numpy as jnp
 
 
-def grid_sample(img: jax.Array, grid: jax.Array, align_corners: bool = True) -> jax.Array:
+def grid_sample(img: jax.Array, grid: jax.Array, align_corners: bool = True,
+                return_coverage: bool = False):
     """Bilinear sample ``img`` (B, C, H, W) at ``grid`` (B, H', W', 2) in [-1, 1].
 
     Semantics match torch.nn.functional.grid_sample with padding_mode='zeros'.
     grid[..., 0] is x (width axis), grid[..., 1] is y (height axis).
+
+    ``return_coverage`` additionally returns the in-bounds bilinear weight
+    sum (== grid_sample of a ones image) computed ANALYTICALLY -- it needs
+    no gathers, halving the warp's gather cost on TPU.
     """
     B, C, H, W = img.shape
     gx, gy = grid[..., 0], grid[..., 1]
@@ -38,8 +43,10 @@ def grid_sample(img: jax.Array, grid: jax.Array, align_corners: bool = True) -> 
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
+    def inb(ix, iy):
+        return ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1))
+
     def gather(ix, iy):
-        inb = ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1))
         ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
         flat_idx = iyc * W + ixc  # (B, H', W')
@@ -47,13 +54,20 @@ def grid_sample(img: jax.Array, grid: jax.Array, align_corners: bool = True) -> 
         out = jnp.take_along_axis(
             img_flat, flat_idx.reshape(B, 1, -1).astype(jnp.int32), axis=2
         ).reshape(B, C, *flat_idx.shape[1:])
-        return out * inb[:, None].astype(img.dtype)
+        return out * inb(ix, iy)[:, None].astype(img.dtype)
 
     out = (gather(x0, y0) * (wx0 * wy0)[:, None]
            + gather(x1, y0) * (wx1 * wy0)[:, None]
            + gather(x0, y1) * (wx0 * wy1)[:, None]
            + gather(x1, y1) * (wx1 * wy1)[:, None])
-    return out
+    if not return_coverage:
+        return out
+    dt = img.dtype
+    coverage = (inb(x0, y0).astype(dt) * (wx0 * wy0)
+                + inb(x1, y0).astype(dt) * (wx1 * wy0)
+                + inb(x0, y1).astype(dt) * (wx0 * wy1)
+                + inb(x1, y1).astype(dt) * (wx1 * wy1))
+    return out, coverage
 
 
 def flow_warp(x: jax.Array, flo: jax.Array) -> jax.Array:
@@ -74,9 +88,9 @@ def flow_warp(x: jax.Array, flo: jax.Array) -> jax.Array:
     gy = 2.0 * vgrid[:, 1] / max(H - 1, 1) - 1.0
     g = jnp.stack([gx, gy], axis=-1)  # (B, H, W, 2)
 
-    out = grid_sample(x, g, align_corners=True)
-    mask = grid_sample(jnp.ones_like(x), g, align_corners=True)
-    mask = (mask >= 0.9999).astype(dtype)
+    out, coverage = grid_sample(x, g, align_corners=True,
+                                return_coverage=True)
+    mask = (coverage >= 0.9999).astype(dtype)[:, None]
     return out * mask
 
 

@@ -311,6 +311,13 @@ class Trainer:
                     snapshot_interval and (bi + 1) % snapshot_interval == 0)):
                 traj.save(snapshot_dir, epoch)
 
+            if getattr(self.args, "print_interval", 0) and (
+                    (bi + 1) % self.args.print_interval == 0):
+                print(f"[step {bi + 1}/{n_batches}] target={target} "
+                      f"loss={float(loss):.6f} "
+                      f"step={self.timer.last('step'):.3f}s "
+                      f"avg={self.timer.avg('step'):.3f}s")
+
         # ---- ONE optimizer update per epoch (train.py:172-179) ----
         if grad_accum is not None:
             if target == "vo":
