@@ -21,7 +21,10 @@ from islam_tpu.transformation import (SEs2ses, pos_quats2SEs, pose2motion)
 class TrajFolderDataset:
     def __init__(self, datadir: str = None, datatype: str = 'tartanair',
                  transform=None, start_frame: int = 0, end_frame: int = -1,
-                 loader: SequenceData = None, links=None):
+                 loader: SequenceData = None, links=None,
+                 load_flow: bool = False, load_depth: bool = False):
+        self.load_flow = load_flow
+        self.load_depth = load_depth
         if loader is None:
             loader = LOADERS[datatype](datadir)
         if end_frame <= 0:
@@ -118,6 +121,14 @@ class TrajFolderDataset:
                 cv2.imread(self.rgbfiles_right[i], cv2.IMREAD_COLOR), True)]
             res['img1_r'] = [self.undistort(
                 cv2.imread(self.rgbfiles_right[j], cv2.IMREAD_COLOR), True)]
+
+        # Optional precomputed flow/depth (TartanAir ships them; feeds the
+        # precalc_flow path of TartanVO.forward, TartanVO.py:104,121-124 --
+        # the CPU-runnable minimum slice of BASELINE config 1).
+        if self.load_flow and self.flowfiles is not None:
+            res['flow'] = [np.load(self.flowfiles[min(i, j)])]
+        if self.load_depth and self.depthfiles is not None:
+            res['depth0'] = [np.load(self.depthfiles[i])]
 
         h, w, _ = img0.shape
         res['intrinsic'] = [make_intrinsics_layer(
