@@ -9,7 +9,7 @@ timestamps, stereo image paths, calibration, GT poses/velocities, and the
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from os import listdir
 from os.path import isdir, isfile
 from typing import Optional

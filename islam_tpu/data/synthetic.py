@@ -9,7 +9,7 @@ and the same attribute surface as TrajFolderDataset.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 from scipy.spatial.transform import Rotation as R

@@ -8,7 +8,6 @@ NHWC numpy arrays (the TPU-friendly layout) instead of torch NCHW tensors.
 from __future__ import annotations
 
 import numbers
-from typing import Dict, List
 
 import cv2
 import numpy as np

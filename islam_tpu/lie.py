@@ -20,7 +20,6 @@ functions are safe (and differentiable) at the identity.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

@@ -8,7 +8,7 @@ weights and (b) XLA lays convolutions onto the MXU without layout shuffles.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,13 +10,11 @@ index writes (stackhourglass.py:117-126), which XLA fuses into one kernel.
 
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from islam_tpu.models.layers import resize_bilinear
 from islam_tpu.models.stereonet import FeatureExtraction
 
 

@@ -10,7 +10,6 @@ path.  Outputs 5 scales of flow, finest first, matching PWCNet.py:291.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

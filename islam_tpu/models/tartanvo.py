@@ -14,7 +14,7 @@ Checkpoint loading with the reference's lenient suffix-matching scheme
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ for inventory parity.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ the reference's requires_grad_(False) scheme (VONet.py:20-26).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

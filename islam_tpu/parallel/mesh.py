@@ -18,15 +18,13 @@ sharded on axis 0; the gradient mean over sequences is the only collective
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from islam_tpu.imu.preintegrator import IMUState
 from islam_tpu.train import train_step
 
 

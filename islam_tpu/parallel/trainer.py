@@ -10,7 +10,7 @@ with a single ICI all-reduce.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

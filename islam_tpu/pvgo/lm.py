@@ -20,8 +20,7 @@ decreasing=1e-3)``.  Design choices:
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ the IMU scan into one XLA program in the training step.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,5 +155,9 @@ def run_pvgo(init_nodes, init_vels, vo_motions, links, dts,
         "imu_vel": jnp.full((init_nodes.shape[0] - 1,), w[1] ** 2),
         "transvel": jnp.full((init_nodes.shape[0] - 1,), w[3] ** 2),
     }
+    if reproj is not None and len(loss_weight) > 4:
+        covs["reproj"] = jnp.full(
+            (init_nodes.shape[0] - 1,),
+            (jnp.asarray(loss_weight[4]) / reproj.N) ** 2)
 
     return trans_loss, rot_loss, nodes, vels, covs

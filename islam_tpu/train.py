@@ -23,7 +23,6 @@ import os
 import time
 from os import makedirs
 from os.path import isdir
-from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,6 @@ from islam_tpu.imu.module import IMUModule, integrate_window
 from islam_tpu.imu.preintegrator import IMUState
 from islam_tpu.models import tartanvo as tvo
 from islam_tpu.pvgo.run import run_pvgo
-from islam_tpu.transformation import motion2pose, pose2motion_se3
 from islam_tpu.utils.timer import Timer
 from islam_tpu.utils import checkpoints as ckpt
 
