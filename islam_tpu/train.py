@@ -244,13 +244,39 @@ class Trainer:
         traj = _TrajLogs(init_state_np)
         epoch_motions = []
 
-        for bi in range(n_batches):
-            self.timer.tic("step")
+        # One-deep host prefetch: window k+1's data prep (decode, transforms,
+        # collate, IMU padding, H2D) overlaps window k's device step.  Only
+        # the init state depends on the previous window's PVGO tail, and it
+        # is tiny -- the reference gets the same overlap from DataLoader
+        # workers (train.py:95-96).
+        import threading
+
+        def prepare(bi):
             current_idx = bi * B
             sample = self._collate(current_idx, B)
             batch = self.device_batch(sample, current_idx)
             imu_win = self.imu_module.window_inputs(
                 current_idx, current_idx + B)
+            return batch, imu_win
+
+        next_data = {}
+
+        def prefetch(bi):
+            next_data[bi] = prepare(bi)
+
+        prefetcher = None
+        for bi in range(n_batches):
+            self.timer.tic("step")
+            current_idx = bi * B
+            if prefetcher is not None:
+                prefetcher.join()
+                batch, imu_win = next_data.pop(bi)
+            else:
+                batch, imu_win = prepare(bi)
+            if bi + 1 < n_batches:
+                prefetcher = threading.Thread(target=prefetch,
+                                              args=(bi + 1,))
+                prefetcher.start()
             init_state = IMUState(
                 pos=jnp.asarray(init_state_np["pos"], jnp.float32),
                 rot=jnp.asarray(init_state_np["rot"], jnp.float32),
