@@ -269,52 +269,117 @@ def load_euroc(datadir: str) -> SequenceData:
     return data
 
 
+def _read_kitti_calib_file(path):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ':' not in line:
+                continue
+            k, v = line.split(':', 1)
+            try:
+                out[k.strip()] = np.array(
+                    [float(x) for x in v.split()], np.float64)
+            except ValueError:
+                pass
+    return out
+
+
+def _kitti_oxts_to_pose(oxts: np.ndarray):
+    """OXTS packets (N, >=20) -> T_w_imu (N, 4, 4) via the KITTI devkit's
+    Mercator projection (the same math pykitti implements)."""
+    from scipy.spatial.transform import Rotation as R
+
+    er = 6378137.0
+    lat, lon, alt = oxts[:, 0], oxts[:, 1], oxts[:, 2]
+    roll, pitch, yaw = oxts[:, 3], oxts[:, 4], oxts[:, 5]
+    scale = np.cos(lat[0] * np.pi / 180.0)
+    tx = scale * lon * np.pi * er / 180.0
+    ty = scale * er * np.log(np.tan((90.0 + lat) * np.pi / 360.0))
+    tz = alt
+    # devkit: R = Rz(yaw) Ry(pitch) Rx(roll) = intrinsic ZYX
+    rots = R.from_euler('ZYX', np.stack([yaw, pitch, roll], axis=1)
+                        ).as_matrix()
+    T = np.tile(np.eye(4), (len(oxts), 1, 1))
+    T[:, :3, :3] = rots
+    T[:, :3, 3] = np.stack([tx, ty, tz], axis=1)
+    return T
+
+
 def load_kitti(datadir: str) -> SequenceData:
-    """KITTI raw layout via pykitti (TrajFolderDataset.py:241-344):
-    cam2/cam3 stereo, 100 Hz OXTS IMU, world velocities from vf/vl/vu."""
-    import pykitti
+    """KITTI raw layout (TrajFolderDataset.py:241-344): cam2/cam3 stereo,
+    100 Hz OXTS IMU, world velocities from vf/vl/vu.  Self-contained parser
+    (no pykitti dependency): OXTS text packets, devkit Mercator poses, and
+    the calib chain T_camN_imu = TN . R_rect_00 . T_velo_cam . T_imu_velo."""
     from scipy.spatial.transform import Rotation as R
 
     parts = datadir.rstrip('/').split('/')
-    basedir = '/'.join(parts[:-2])
-    date = parts[-2]
-    drive = parts[-1].split('_')[-2]
-    dataset = pykitti.raw(basedir, date, drive)
+    date_dir = '/'.join(parts[:-1])
 
     ts_imu = _load_kitti_timestamps(datadir, 'oxts')
     ts_rgb = _load_kitti_timestamps(datadir, 'image_02')
     rgb2imu_sync = sync_data(ts_imu, ts_rgb)
 
-    K = dataset.calib.K_cam2
-    intrinsic = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
-    K = dataset.calib.K_cam3
-    intrinsic_right = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+    # --- calibration ---
+    c2c = _read_kitti_calib_file(os.path.join(date_dir,
+                                              'calib_cam_to_cam.txt'))
+    v2c = _read_kitti_calib_file(os.path.join(date_dir,
+                                              'calib_velo_to_cam.txt'))
+    i2v = _read_kitti_calib_file(os.path.join(date_dir,
+                                              'calib_imu_to_velo.txt'))
 
-    T_LI = dataset.calib.T_cam2_imu
-    T_RI = dataset.calib.T_cam3_imu
+    def rt(d):
+        T = np.eye(4)
+        T[:3, :3] = d['R'].reshape(3, 3)
+        T[:3, 3] = d['T']
+        return T
+
+    T_velo_imu = rt(i2v)
+    T_cam0u_velo = rt(v2c)
+    R_rect = np.eye(4)
+    R_rect[:3, :3] = c2c['R_rect_00'].reshape(3, 3)
+
+    def cam_transform(n):
+        P = c2c[f'P_rect_0{n}'].reshape(3, 4)
+        Tn = np.eye(4)
+        Tn[0, 3] = P[0, 3] / P[0, 0]
+        T_camN_velo = Tn @ R_rect @ T_cam0u_velo
+        K = P[:3, :3]
+        return T_camN_velo @ T_velo_imu, K
+
+    T_LI, K2 = cam_transform(2)
+    T_RI, K3 = cam_transform(3)
     T_LR = T_LI @ np.linalg.inv(T_RI)
+    intrinsic = np.array([K2[0, 0], K2[1, 1], K2[0, 2], K2[1, 2]])
+    intrinsic_right = np.array([K3[0, 0], K3[1, 1], K3[0, 2], K3[1, 2]])
 
-    T_w_imu = np.array([o.T_w_imu for o in dataset.oxts])[rgb2imu_sync]
+    # --- OXTS packets ---
+    oxts_dir = os.path.join(datadir, 'oxts', 'data')
+    oxts_files = sorted(os.listdir(oxts_dir))
+    oxts = np.stack([np.loadtxt(os.path.join(oxts_dir, f))
+                     for f in oxts_files])
+
+    T_w_imu = _kitti_oxts_to_pose(oxts)[rgb2imu_sync]
     poses = np.stack([_se3_from_matrix_np(T) for T in T_w_imu])
-    vels_local = np.array([[o.packet.vf, o.packet.vl, o.packet.vu]
-                           for o in dataset.oxts],
-                          np.float32)[rgb2imu_sync]
-    rots = R.from_quat(poses[:, 3:])
-    vels = rots.apply(vels_local).astype(np.float32)
+    vels_local = oxts[rgb2imu_sync][:, 8:11].astype(np.float32)  # vf, vl, vu
+    vels = R.from_quat(poses[:, 3:]).apply(vels_local).astype(np.float32)
+
+    img_dir = os.path.join(datadir, 'image_02', 'data')
+    rgbfiles = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))]
+    img_dir_r = os.path.join(datadir, 'image_03', 'data')
+    rgbfiles_right = [os.path.join(img_dir_r, f)
+                      for f in sorted(os.listdir(img_dir_r))]
 
     data = SequenceData(
-        rgbfiles=list(dataset.cam2_files),
+        rgbfiles=rgbfiles,
         rgb_dts=np.diff(ts_rgb).astype(np.float32),
         rgb_ts=np.asarray(ts_rgb, np.float64) - ts_rgb[0],
         intrinsic=intrinsic.astype(np.float32), poses=poses, vels=vels,
-        rgbfiles_right=list(dataset.cam3_files),
+        rgbfiles_right=rgbfiles_right,
         intrinsic_right=intrinsic_right.astype(np.float32),
         right2left_pose=_se3_from_matrix_np(T_LR),
     )
-    data.accels = np.array([[o.packet.ax, o.packet.ay, o.packet.az]
-                            for o in dataset.oxts], np.float32)
-    data.gyros = np.array([[o.packet.wx, o.packet.wy, o.packet.wz]
-                           for o in dataset.oxts], np.float32)
+    data.accels = oxts[:, 11:14].astype(np.float32)  # ax, ay, az
+    data.gyros = oxts[:, 17:20].astype(np.float32)   # wx, wy, wz
     data.accel_bias = np.zeros(3, np.float32)
     data.gyro_bias = np.zeros(3, np.float32)
     data.imu_dts = np.diff(ts_imu).astype(np.float32)

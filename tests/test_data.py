@@ -142,6 +142,82 @@ class TestEuRoCLoader:
         assert s["img0"][0].shape[-1] == 3
 
 
+def make_kitti_fixture(root, n=5, h=96, w=128, hz_ratio=2):
+    """date_dir/drive_sync layout with calib files + oxts packets."""
+    import cv2
+    import datetime as dt
+
+    date_dir = os.path.dirname(root)
+    os.makedirs(date_dir, exist_ok=True)
+    with open(f"{date_dir}/calib_cam_to_cam.txt", "w") as f:
+        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        f.write(f"P_rect_02: 100 0 {w/2} -10 0 100 {h/2} 0 0 0 1 0\n")
+        f.write(f"P_rect_03: 100 0 {w/2} -60 0 100 {h/2} 0 0 0 1 0\n")
+    with open(f"{date_dir}/calib_velo_to_cam.txt", "w") as f:
+        f.write("R: 1 0 0 0 1 0 0 0 1\nT: 0.1 -0.05 -0.3\n")
+    with open(f"{date_dir}/calib_imu_to_velo.txt", "w") as f:
+        f.write("R: 1 0 0 0 1 0 0 0 1\nT: -0.8 0.3 0.8\n")
+
+    n_imu = n * hz_ratio
+
+    def write_ts(sub, count, period):
+        os.makedirs(f"{root}/{sub}", exist_ok=True)
+        with open(f"{root}/{sub}/timestamps.txt", "w") as f:
+            base = dt.datetime(2011, 9, 30, 12, 0, 0)
+            for i in range(count):
+                t = base + dt.timedelta(seconds=i * period)
+                f.write(t.strftime("%Y-%m-%d %H:%M:%S.%f") + "000\n")
+
+    write_ts("oxts", n_imu, 0.05)
+    write_ts("image_02", n, 0.1)
+    write_ts("image_03", n, 0.1)
+
+    os.makedirs(f"{root}/oxts/data", exist_ok=True)
+    for i in range(n_imu):
+        pkt = np.zeros(30)
+        pkt[0] = 49.0 + i * 1e-6   # lat
+        pkt[1] = 8.43 + i * 2e-6   # lon
+        pkt[2] = 110.0             # alt
+        pkt[5] = 0.01 * i          # yaw
+        pkt[8:11] = [5.0, 0.1, 0.0]     # vf, vl, vu
+        pkt[11:14] = [0.1, 0.2, 9.8]    # ax, ay, az
+        pkt[17:20] = [0.01, 0.02, 0.03]  # wx, wy, wz
+        np.savetxt(f"{root}/oxts/data/{i:010d}.txt", pkt[None])
+
+    for cam in ("image_02", "image_03"):
+        os.makedirs(f"{root}/{cam}/data", exist_ok=True)
+        for i in range(n):
+            img = RNG.integers(0, 255, (h, w, 3), np.uint8)
+            cv2.imwrite(f"{root}/{cam}/data/{i:010d}.png", img)
+
+
+class TestKITTILoader:
+    def test_load(self, tmp_path):
+        root = str(tmp_path / "2011_09_30" /
+                   "2011_09_30_drive_0018_sync")
+        make_kitti_fixture(root)
+        from islam_tpu.data.dataset import TrajFolderDataset
+
+        ds = TrajFolderDataset(root, "kitti")
+        assert ds.num_img == 4  # end_frame=-1 drops the last frame
+        assert ds.has_imu
+        # IMU at 2x RGB rate: sync hits every other sample
+        np.testing.assert_array_equal(ds.rgb2imu_sync, [0, 2, 4, 6])
+        assert ds.accels.shape[1] == 3
+        np.testing.assert_allclose(ds.accels[0], [0.1, 0.2, 9.8])
+        np.testing.assert_allclose(ds.gyros[0], [0.01, 0.02, 0.03])
+        # baseline from P_rect offsets: (-10 - -60)/100 = 0.5 m
+        np.testing.assert_allclose(
+            np.linalg.norm(ds.right2left_pose[:3]), 0.5, atol=1e-6)
+        # velocities rotated to world, magnitude preserved
+        np.testing.assert_allclose(
+            np.linalg.norm(ds.vels[0]), np.linalg.norm([5.0, 0.1, 0.0]),
+            rtol=1e-5)
+        s = ds[0]
+        assert s["img0"][0].shape == (96, 128, 3)
+        assert np.isfinite(s["motion"]).all()
+
+
 class TestTransforms:
     def test_crop_center_adjusts_intrinsics(self):
         sample = {
