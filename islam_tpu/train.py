@@ -248,8 +248,13 @@ class Trainer:
         # collate, IMU padding, H2D) overlaps window k's device step.  Only
         # the init state depends on the previous window's PVGO tail, and it
         # is tiny -- the reference gets the same overlap from DataLoader
-        # workers (train.py:95-96).
+        # workers (train.py:95-96).  Disabled on single-core hosts where the
+        # thread merely contends with the main loop (measured 2x slower).
+        import os as _os
         import threading
+
+        use_prefetch = (getattr(args, "worker_num", 1) >= 1
+                        and (_os.cpu_count() or 1) > 1)
 
         def prepare(bi):
             current_idx = bi * B
@@ -273,7 +278,7 @@ class Trainer:
                 batch, imu_win = next_data.pop(bi)
             else:
                 batch, imu_win = prepare(bi)
-            if bi + 1 < n_batches:
+            if use_prefetch and bi + 1 < n_batches:
                 prefetcher = threading.Thread(target=prefetch,
                                               args=(bi + 1,))
                 prefetcher.start()
