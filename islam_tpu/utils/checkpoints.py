@@ -30,8 +30,18 @@ def _leaf_to_torch(leaf: str) -> str:
     }[leaf]
 
 
+_UNC_IDX = {"conv0": "0", "conv1": "2", "conv2": "4"}
+
+
 def _pwcnet_key(parts: Tuple[str, ...]) -> str:
     # ('conv1a', 'conv') -> conv1a.0 ; ('predict_flow6',) -> predict_flow6
+    # uncertainty heads (PWCNet.py:22-33,39-52):
+    #   ('unc6', 'conv0') -> predict_flow6.unc.0 ; dc_unc7 -> dc_conv7.unc.*
+    m = re.fullmatch(r"unc(\d)", parts[0])
+    if m and len(parts) == 2:
+        return f"predict_flow{m.group(1)}.unc.{_UNC_IDX[parts[1]]}"
+    if parts[0] == "dc_unc7" and len(parts) == 2:
+        return f"dc_conv7.unc.{_UNC_IDX[parts[1]]}"
     if len(parts) == 2 and parts[1] == "conv":
         return parts[0] + ".0"
     return ".".join(parts)
@@ -189,9 +199,18 @@ def import_torch_weights(variables: Dict[str, Any],
         tkey = flax_path_to_torch_key(parts)
         value = None
         if tkey is not None:
-            if tkey in state_dict:
-                value = state_dict[tkey]
-            else:
+            candidates = [tkey]
+            # uncertainty checkpoints wrap the flow conv in PredictFlow:
+            # predict_flowN.weight lives at predict_flowN.pred.weight
+            m = re.fullmatch(r"((?:flowNet\.)?(?:predict_flow\d|dc_conv7))"
+                             r"\.(weight|bias)", tkey)
+            if m:
+                candidates.append(f"{m.group(1)}.pred.{m.group(2)}")
+            for cand in candidates:
+                if cand in state_dict:
+                    value = state_dict[cand]
+                    break
+            if value is None:
                 for k in sd_keys:
                     if (k.endswith(tkey) or tkey.endswith(k)) and (
                             np.asarray(state_dict[k]).size ==

@@ -190,6 +190,59 @@ class TestPWCNetParity:
             np.testing.assert_allclose(np.asarray(ours_f), ref_np, atol=5e-4)
 
 
+class TestPWCNetUncertaintyParity:
+    @needs_oracle
+    def test_forward_matches_torch_with_uncertainty(self):
+        import Network.PWC.PWCNet as torch_pwc
+        from islam_tpu.models.pwcnet import PWCDCNet
+        from islam_tpu.utils.checkpoints import import_torch_weights
+
+        torch_pwc.FunctionCorrelation = torch_correlation_oracle
+        torch.manual_seed(4)
+        tmodel = torch_pwc.PWCDCNet(uncertainty=True).eval()
+
+        import types as _types
+
+        def cpu_warp(self, x, flo):
+            B, C, H, W = x.size()
+            xx = torch.arange(W).view(1, -1).repeat(H, 1)
+            yy = torch.arange(H).view(-1, 1).repeat(1, W)
+            grid = torch.cat([xx.view(1, 1, H, W).repeat(B, 1, 1, 1),
+                              yy.view(1, 1, H, W).repeat(B, 1, 1, 1)],
+                             1).float()
+            vgrid = grid + flo
+            vgrid[:, 0] = 2.0 * vgrid[:, 0] / max(W - 1, 1) - 1.0
+            vgrid[:, 1] = 2.0 * vgrid[:, 1] / max(H - 1, 1) - 1.0
+            out = torch.nn.functional.grid_sample(
+                x, vgrid.permute(0, 2, 3, 1), align_corners=True)
+            mask = torch.nn.functional.grid_sample(
+                torch.ones_like(x), vgrid.permute(0, 2, 3, 1),
+                align_corners=True)
+            return out * (mask >= 0.9999).float()
+
+        tmodel.warp = _types.MethodType(cpu_warp, tmodel)
+        sd = to_numpy_sd(tmodel)
+
+        model = PWCDCNet(uncertainty=True)
+        x = np.random.default_rng(7).normal(
+            size=(1, 64, 128, 6)).astype(np.float32) * 0.3
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        variables = import_torch_weights(variables, sd)
+
+        (flows, uncs) = model.apply(variables, jnp.asarray(x))
+        with torch.no_grad():
+            tflows, tuncs = tmodel(
+                torch.tensor(np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        for ours_f, ref_f in zip(flows, tflows):
+            np.testing.assert_allclose(
+                np.asarray(ours_f), ref_f.numpy().transpose(0, 2, 3, 1),
+                atol=5e-4)
+        for ours_u, ref_u in zip(uncs, tuncs):
+            np.testing.assert_allclose(
+                np.asarray(ours_u), ref_u.numpy().transpose(0, 2, 3, 1),
+                atol=5e-4)
+
+
 class TestStereoNetParity:
     @needs_oracle
     def test_forward_matches_torch(self):
