@@ -119,12 +119,15 @@ class IMUModule:
                  init=None, gravity=9.81007, rgb2imu_sync=None,
                  denoise_params=None, denoise_accel=True, denoise_gyro=True,
                  max_window_samples=None, batch_frames=8):
-        self.accels = jnp.asarray(np.asarray(accels), jnp.float32)
-        self.gyros = jnp.asarray(np.asarray(gyros), jnp.float32)
+        self._accels_np = np.asarray(accels, np.float32)
+        self._gyros_np = np.asarray(gyros, np.float32)
+        self.accels = jnp.asarray(self._accels_np)
+        self.gyros = jnp.asarray(self._gyros_np)
         dts = np.asarray(dts, np.float32).reshape(-1)
         # dts may be one shorter than samples (np.diff); pad with last value.
-        if dts.shape[0] < self.accels.shape[0]:
+        if dts.shape[0] < self._accels_np.shape[0]:
             dts = np.concatenate([dts, dts[-1:]])
+        self._dts_np = dts
         self.dts = jnp.asarray(dts)
         self.gravity = jnp.asarray(float(gravity), jnp.float32)
 
@@ -188,9 +191,9 @@ class IMUModule:
             out[:n_valid] = x[:n_valid]
             return jnp.asarray(out)
 
-        dts = pad(np.asarray(self.dts)[i0:i1])
-        gyros = pad(np.asarray(self.gyros)[i0:i1])
-        accels = pad(np.asarray(self.accels)[i0:i1])
+        dts = pad(self._dts_np[i0:i1])
+        gyros = pad(self._gyros_np[i0:i1])
+        accels = pad(self._accels_np[i0:i1])
 
         frame_ends = np.asarray(
             [int(sync[i]) - i0 - 1 for i in range(st, end + 1)], np.int32)
