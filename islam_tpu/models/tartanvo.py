@@ -27,7 +27,9 @@ from islam_tpu.transformation import cvt_se3, tartan2kitti
 
 # Output de-normalization (TartanVO.py:26): trained pose targets were divided
 # by this std, so predictions are scaled back.
-POSE_STD = jnp.asarray([0.13, 0.13, 0.13, 0.013, 0.013, 0.013], jnp.float32)
+# Plain tuple, not a jnp array: creating a device array at import time would
+# initialize the backend and break late platform selection (dryrun CPU mode).
+POSE_STD = (0.13, 0.13, 0.13, 0.013, 0.013, 0.013)
 
 DISP_TH = {"kitti": 5.0, "tartanair": 1.0, "euroc": 1.0}
 
@@ -94,7 +96,7 @@ def forward(variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
     disp = disp.astype(jnp.float32)
     pose = pose.astype(jnp.float32)
 
-    pose = pose * POSE_STD  # TartanVO.py:108
+    pose = pose * jnp.asarray(POSE_STD, pose.dtype)  # TartanVO.py:108
     flow = jax.lax.stop_gradient(flow)
     disp = jax.lax.stop_gradient(disp)
 
