@@ -75,6 +75,47 @@ class ConvT2d(nn.Module):
         return y
 
 
+class ConvT3d(nn.Module):
+    """torch.nn.ConvTranspose3d equivalent (NDHWC).
+
+    Fractionally-strided conv of the pre-flipped kernel, with torch's
+    ``output_padding`` realized as extra right-side padding:
+        out = (in-1)*s - 2p + k + op
+    Used by the PSMNet 3-D hourglasses (stackhourglass.py:25-29:
+    k=3, s=2, p=1, output_padding=1).
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.kaiming_normal(),
+            (k, k, k, in_ch, self.features), jnp.float32)
+        lo = k - 1 - p
+        hi = lo + self.output_padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype),
+            kernel.astype(self.dtype or x.dtype),
+            window_strides=(1, 1, 1),
+            padding=((lo, hi),) * 3,
+            lhs_dilation=(s, s, s),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias
+        return y
+
+
 def BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
               name=None):
     """torch.nn.BatchNorm2d equivalent.

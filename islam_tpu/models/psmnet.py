@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from islam_tpu.models.layers import ConvT3d, _interp_matrix
 from islam_tpu.models.stereonet import FeatureExtraction
 
 
@@ -60,11 +61,24 @@ def disparity_regression(prob: jax.Array, maxdisp: int) -> jax.Array:
     return jnp.sum(prob * disp, axis=1, keepdims=True)
 
 
-def _trilinear_resize(x, out_dhw):
-    """(B, D, H, W, C) trilinear resize."""
-    B, D, H, W, C = x.shape
+def _trilinear_resize(x, out_dhw, align_corners=False):
+    """(B, D, H, W, C) trilinear resize as three static-matrix contractions
+    (MXU-friendly, no gathers).  align_corners=False matches stackhourglass's
+    F.interpolate default (stackhourglass.py:146-160); True matches basic.py's
+    F.upsample(align_corners=True) (basic.py:87)."""
+    D, H, W = x.shape[1], x.shape[2], x.shape[3]
     Do, Ho, Wo = out_dhw
-    return jax.image.resize(x, (B, Do, Ho, Wo, C), method="trilinear")
+    dt = x.dtype
+    if Do != D:
+        x = jnp.einsum("od,bdhwc->bohwc",
+                       jnp.asarray(_interp_matrix(D, Do, align_corners), dt), x)
+    if Ho != H:
+        x = jnp.einsum("oh,bdhwc->bdowc",
+                       jnp.asarray(_interp_matrix(H, Ho, align_corners), dt), x)
+    if Wo != W:
+        x = jnp.einsum("ow,bdhwc->bdhoc",
+                       jnp.asarray(_interp_matrix(W, Wo, align_corners), dt), x)
+    return x
 
 
 class Hourglass3D(nn.Module):
@@ -84,9 +98,9 @@ class Hourglass3D(nn.Module):
         out = nn.relu(ConvBN3d(p2, 3, 1, 1, train=t, name="conv4")(out))
 
         def deconv3d(feat, features, name):
-            y = nn.ConvTranspose(features, (3, 3, 3), strides=(2, 2, 2),
-                                 padding="SAME", use_bias=False,
-                                 name=name + "_conv")(feat)
+            # torch ConvTranspose3d(k=3, s=2, p=1, output_padding=1, bias=F)
+            y = ConvT3d(features, 3, 2, 1, output_padding=1, use_bias=False,
+                        name=name + "_conv")(feat)
             return nn.BatchNorm(use_running_average=not t, momentum=0.9,
                                 epsilon=1e-5, name=name + "_bn")(y)
 
@@ -181,6 +195,8 @@ class PSMNetBasic(nn.Module):
         y = nn.relu(ConvBN3d(32, 3, 1, 1, train=t, name="classify_0")(cost0))
         cost = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
                        name="classify_1")(y)
-        cost = _trilinear_resize(cost, (self.maxdisp, H, W))[..., 0]
+        # basic.py:87 upsamples with align_corners=True
+        cost = _trilinear_resize(cost, (self.maxdisp, H, W),
+                                 align_corners=True)[..., 0]
         prob = jax.nn.softmax(cost, axis=1)
         return disparity_regression(prob, self.maxdisp)

@@ -54,6 +54,51 @@ def _corr_dy_kernel(f1_ref, f2s_ref, out_ref, *, md: int, W: int,
         out_ref[0, dx] = acc.astype(out_ref.dtype)
 
 
+def _corr_all_kernel(f1_ref, f2s_ref, out_ref, *, md: int, W: int,
+                     inv_c: float):
+    """All-displacement variant: grid (B, H/Hb), one step emits ALL
+    (2md+1)^2 channels from a single VMEM-resident f1 tile (f1 HBM traffic
+    O(|f1|) instead of O((2md+1)*|f1|); docs/TODO.md item 3).
+
+    f1_ref:  (1, C, Hb, W)
+    f2s_ref: (1, 2md+1, C, Hb, W+2md)   all dy shifts of these rows
+    out_ref: (1, (2md+1)^2, Hb, W)
+    """
+    a = f1_ref[0].astype(jnp.float32)          # (C, Hb, W)
+    n = 2 * md + 1
+    for dy in range(n):
+        b_full = f2s_ref[0, dy].astype(jnp.float32)  # (C, Hb, W + 2md)
+        for dx in range(n):
+            acc = jnp.sum(a * b_full[:, :, dx:dx + W], axis=0) * inv_c
+            out_ref[0, dy * n + dx] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("md",))
+def _corr_fwd_all(f1: jax.Array, f2: jax.Array, md: int = 4) -> jax.Array:
+    B, C, H, W = f1.shape
+    n = 2 * md + 1
+    f2p = jnp.pad(f2, ((0, 0), (0, 0), (md, md), (md, md)))
+    f2s = jnp.stack([f2p[:, :, j:j + H, :] for j in range(n)], axis=1)
+
+    Hb = min(H, 16)
+    kernel = functools.partial(_corr_all_kernel, md=md, W=W, inv_c=1.0 / C)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n * n, H, W), f1.dtype),
+        grid=(B, pl.cdiv(H, Hb)),
+        in_specs=[
+            pl.BlockSpec((1, C, Hb, W), lambda b, h: (b, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, C, Hb, W + 2 * md),
+                         lambda b, h: (b, 0, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n * n, Hb, W), lambda b, h: (b, 0, h, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(f1, f2s)
+
+
 @functools.partial(jax.jit, static_argnames=("md",))
 def _corr_fwd(f1: jax.Array, f2: jax.Array, md: int = 4) -> jax.Array:
     B, C, H, W = f1.shape

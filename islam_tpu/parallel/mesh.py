@@ -35,6 +35,48 @@ def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host (pod / DCN) bring-up: one process per host.
+
+    Thin wrapper over ``jax.distributed.initialize`` — on TPU pods all
+    arguments are discovered from the environment; on other setups pass
+    ``coordinator_address='host:port'`` plus the process count/id.  After
+    this, ``jax.devices()`` spans every host and ``make_global_mesh``
+    builds the sequence mesh over the full slice.  No-ops if the
+    distributed runtime is already initialized (single-process tests).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def make_global_mesh(axis: str = "seq") -> Mesh:
+    """Mesh over ALL devices of a (possibly multi-host) slice.
+
+    Device order follows ``jax.devices()`` (process-major), so neighboring
+    sequence shards stay on the same host's ICI domain and the single
+    gradient all-reduce crosses DCN only at host boundaries — the layout
+    the scaling-book recipe prescribes for pure data parallelism.  Use
+    ``jax.process_index()``-strided slices of the dataset to feed each
+    host its local sequences (per-host data loading; arrays assembled with
+    ``jax.make_array_from_process_local_data``).
+    """
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def host_local_batch_slice(n_sequences: int) -> slice:
+    """The contiguous block of the global sequence axis owned by this host."""
+    per = n_sequences // max(jax.process_count(), 1)
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "seq") -> Any:
     """Place a pytree with a leading sequence dim onto the mesh, sharded on
     axis 0."""

@@ -114,11 +114,20 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
             radius=1e4, loss_weight=loss_weight, target=target)
 
         loss = jnp.sum(rot_w * rot_loss) + jnp.sum(trans_w * trans_loss)
+        # Next-window init state computed IN-JIT (quaternion renorm,
+        # train.py:296-299) so the host can chain windows without any
+        # device->host round trip on the critical path.
+        tail_q = pgo_poses[-1, 3:]
+        carry = IMUState(
+            pos=pgo_poses[-1, :3],
+            rot=tail_q / jnp.linalg.norm(tail_q),
+            vel=pgo_vels[-1])
         aux = {
             "motions": jax.lax.stop_gradient(motions),
             "imu_poses": imu_poses, "imu_vels": imu_vels,
             "pgo_poses": pgo_poses, "pgo_vels": pgo_vels,
             "trans_loss": jnp.sum(trans_loss), "rot_loss": jnp.sum(rot_loss),
+            "carry": carry,
         }
         return loss, aux
 
@@ -244,6 +253,26 @@ class Trainer:
         traj = _TrajLogs(init_state_np)
         epoch_motions = []
 
+        # Device-resident state carry + deferred bookkeeping: the next
+        # window's init state is computed in-jit (aux["carry"]), so the host
+        # never blocks on step k before dispatching step k+1; trajectory
+        # logging fetches are batched at snapshot/epoch boundaries (the bench
+        # pipelining pattern, docs/TODO.md item 7).
+        init_state = IMUState(
+            pos=jnp.asarray(init_state_np["pos"], jnp.float32),
+            rot=jnp.asarray(init_state_np["rot"], jnp.float32),
+            vel=jnp.asarray(init_state_np["vel"], jnp.float32))
+        pending = []
+
+        def flush():
+            for a in pending:
+                motions = np.asarray(a["motions"])
+                traj.extend(motions, np.asarray(a["pgo_poses"]),
+                            np.asarray(a["pgo_vels"]),
+                            np.asarray(a["imu_poses"]))
+                epoch_motions.append(motions)
+            pending.clear()
+
         # One-deep host prefetch: window k+1's data prep (decode, transforms,
         # collate, IMU padding, H2D) overlaps window k's device step.  Only
         # the init state depends on the previous window's PVGO tail, and it
@@ -282,10 +311,6 @@ class Trainer:
                 prefetcher = threading.Thread(target=prefetch,
                                               args=(bi + 1,))
                 prefetcher.start()
-            init_state = IMUState(
-                pos=jnp.asarray(init_state_np["pos"], jnp.float32),
-                rot=jnp.asarray(init_state_np["rot"], jnp.float32),
-                vel=jnp.asarray(init_state_np["vel"], jnp.float32))
 
             prev = None
             if target != "vo" and self.prev_vo_motions is not None:
@@ -322,22 +347,14 @@ class Trainer:
                 grad_accum = grads if grad_accum is None else jax.tree_util.tree_map(
                     jnp.add, grad_accum, grads)
 
-            # ---- host bookkeeping / state carry (train.py:219-299) ----
-            pgo_poses = np.asarray(aux["pgo_poses"])
-            pgo_vels = np.asarray(aux["pgo_vels"])
-            traj.extend(np.asarray(aux["motions"]), pgo_poses, pgo_vels,
-                        np.asarray(aux["imu_poses"]))
-            epoch_motions.append(np.asarray(aux["motions"]))
-
-            init_state_np = {
-                "rot": pgo_poses[-1][3:] / np.linalg.norm(pgo_poses[-1][3:]),
-                "pos": pgo_poses[-1][:3],
-                "vel": pgo_vels[-1],
-            }
+            # ---- state carry stays on device (train.py:296-299) ----
+            init_state = aux["carry"]
+            pending.append(aux)
             self.timer.toc("step")
 
             if snapshot_dir and (bi < 10 or (
                     snapshot_interval and (bi + 1) % snapshot_interval == 0)):
+                flush()
                 traj.save(snapshot_dir, epoch)
 
             if getattr(self.args, "print_interval", 0) and (
@@ -347,6 +364,7 @@ class Trainer:
                       f"step={self.timer.last('step'):.3f}s "
                       f"avg={self.timer.avg('step'):.3f}s")
 
+        flush()
         # ---- ONE optimizer update per epoch (train.py:172-179) ----
         if grad_accum is not None:
             if target == "vo":

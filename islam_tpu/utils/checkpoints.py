@@ -109,6 +109,33 @@ def _stereonet_key(parts: Tuple[str, ...]) -> str:
     return ".".join(out)
 
 
+def _psmnet_key(parts: Tuple[str, ...]) -> str:
+    """PSMNet alternates (PSM/{basic,stackhourglass}.py) name translation.
+
+    torch containers: dresN/classifN/classify are Sequential(convbn_3d, ReLU,
+    <convbn_3d | Conv3d>) -> items 0 and 2; hourglass convK are
+    Sequential(convbn_3d, ReLU) / bare convbn_3d / Sequential(ConvTranspose3d,
+    BatchNorm3d); convbn_3d itself is Sequential(Conv3d, BatchNorm3d).
+    """
+    head = parts[0]
+    m = re.fullmatch(r"(dres\d|classif\d|classify)_(\d)", head)
+    if m:
+        base = f"{m.group(1)}.{2 * int(m.group(2))}"
+        if len(parts) == 1:  # bare Conv3d (classifN_1 / classify_1)
+            return base
+        return base + (".0" if parts[1] == "conv" else ".1")
+    if re.fullmatch(r"dres\d", head) and len(parts) >= 2:
+        sub = parts[1]
+        m = re.fullmatch(r"conv(\d)_(conv|bn)", sub)
+        if m:  # hourglass deconv: Sequential(ConvTranspose3d, BN3d)
+            return f"{head}.conv{m.group(1)}." + (
+                "0" if m.group(2) == "conv" else "1")
+        if sub == "conv2":  # bare convbn_3d (stackhourglass.py:17)
+            return f"{head}.conv2." + ("0" if parts[2] == "conv" else "1")
+        return f"{head}.{sub}.0." + ("0" if parts[2] == "conv" else "1")
+    return ".".join(parts)
+
+
 _SUBNET_RULES = {
     "flowNet": _pwcnet_key,
     "stereoNet": _stereonet_key,
@@ -121,6 +148,8 @@ def _guess_rule(head: str):
     the first module name."""
     if head == "feat_net" or re.fullmatch(r"(trans|rot)_fc\d", head):
         return _voflownet_key
+    if re.fullmatch(r"(dres\d|classif\d|classify)(_\d)?", head):
+        return _psmnet_key
     if (head == "feature_extraction" or head.startswith("conv_c")
             or head.startswith("deconv_c")):
         return _stereonet_key
@@ -143,6 +172,7 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> Optional[str]:
 
 def _is_transposed_conv(path: Tuple[str, ...]) -> bool:
     return any(p.startswith("deconv") or p.startswith("upfeat")
+               or re.fullmatch(r"conv[56]_conv", p)  # 3-D hourglass deconvs
                for p in path)
 
 
@@ -159,6 +189,13 @@ def torch_value_to_flax(path: Tuple[str, ...], value: np.ndarray,
             else:
                 # torch Conv2d (out, in, kh, kw) -> HWIO
                 v = v.transpose(2, 3, 1, 0)
+        elif v.ndim == 5:
+            if _is_transposed_conv(path):
+                # ConvTranspose3d (in, out, kd, kh, kw) -> pre-flipped DHWIO
+                v = v[:, :, ::-1, ::-1, ::-1].transpose(2, 3, 4, 0, 1)
+            else:
+                # Conv3d (out, in, kd, kh, kw) -> DHWIO
+                v = v.transpose(2, 3, 4, 1, 0)
         elif v.ndim == 2:
             v = v.T  # Linear (out, in) -> (in, out)
     return np.ascontiguousarray(v).reshape(target_shape)

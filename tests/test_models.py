@@ -313,3 +313,45 @@ class TestDenoiserParity:
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(o_gyro[:S]), t_gyro.numpy(),
                                    atol=1e-4)
+
+
+class TestPSMNetParity:
+    """Torch-oracle parity of the PSMNet stacked-hourglass alternate
+    (Network/PSM/stackhourglass.py).  The reference hard-codes .cuda() in its
+    cost volume and disparityregression (stackhourglass.py:117,
+    submodule.py:59), so the oracle runs with Tensor.cuda patched to the
+    identity (docs/TODO.md item 8).  basic.py is untestable as-is under
+    Python 3 (``range(self.maxdisp/4)`` with float division, basic.py:71)."""
+
+    @needs_oracle
+    def test_stackhourglass_matches_torch(self, monkeypatch):
+        from Network.PSM.stackhourglass import PSMNet as TorchPSM
+        from islam_tpu.models.psmnet import PSMNetStackHourglass
+        from islam_tpu.utils.checkpoints import import_torch_weights
+
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **kw: self)
+
+        torch.manual_seed(7)
+        tmodel = TorchPSM(maxdisp=16).eval()
+        sd = to_numpy_sd(tmodel)
+
+        model = PSMNetStackHourglass(maxdisp=16, train_bn=False)
+        # feature pyramid pools need >=256px inputs (AvgPool2d((64,64)) on
+        # the 1/4-res map, submodule.py:86-88)
+        x = np.random.default_rng(8).normal(
+            size=(1, 256, 256, 6)).astype(np.float32) * 0.3
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        n_params = len(jax.tree_util.tree_leaves(variables))
+        variables = import_torch_weights(variables, sd)
+
+        disp, _ = model.apply(variables, jnp.asarray(x))
+        with torch.no_grad():
+            tdisp, _ = tmodel(torch.tensor(
+                np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        diff = np.abs(np.asarray(disp) - tdisp.numpy())
+        # random saturated weights leave a few near-tied softmax pixels where
+        # f32 noise amplifies; require exactness everywhere else
+        assert np.mean(diff) < 1e-3
+        assert np.percentile(diff, 99.9) < 5e-3
+        assert diff.max() < 0.05

@@ -30,3 +30,18 @@ class TestMultiSequenceTrainer:
         s0 = np.asarray(trainer._init_states[0]["pos"])
         s1 = np.asarray(trainer._init_states[1]["pos"])
         assert not np.allclose(s0, s1)
+
+
+class TestMultiHostHelpers:
+    def test_global_mesh_single_process(self):
+        from islam_tpu.parallel.mesh import make_global_mesh
+
+        mesh = make_global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        assert mesh.axis_names == ("seq",)
+
+    def test_host_local_batch_slice_single_process(self):
+        from islam_tpu.parallel.mesh import host_local_batch_slice
+
+        s = host_local_batch_slice(8)
+        assert (s.start, s.stop) == (0, 8)
