@@ -33,7 +33,8 @@ ITERS = 10
 def main():
     try:
         run(quick="--quick" in sys.argv,
-            bf16="--bf16" in sys.argv or "--f32" not in sys.argv)
+            bf16="--bf16" in sys.argv or "--f32" not in sys.argv,
+            scan="--scan" in sys.argv)
     except Exception as e:  # robust fallback so the driver always gets JSON
         if "--quick" in sys.argv:
             raise
@@ -42,13 +43,13 @@ def main():
         run(quick=True, bf16=True)
 
 
-def run(quick: bool, bf16: bool):
+def run(quick: bool, bf16: bool, scan: bool = False):
     h, w, b = (64, 128, 2) if quick else (H, W, B)
 
     from islam_tpu import testing
     from islam_tpu.imu import denoiser as dn
     from islam_tpu.models import tartanvo as tvo
-    from islam_tpu.train import train_step
+    from islam_tpu.train import train_scan, train_step
 
     ds = testing.make_dataset(num_frames=b + 1, height=h, width=w)
     imu = testing.make_imu_module(ds, batch_frames=b)
@@ -66,24 +67,50 @@ def run(quick: bool, bf16: bool):
             jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
             imu.gravity, imu.accel_bias, imu.gyro_bias, jnp.asarray(False))
 
-    def run_once():
-        loss, grads, aux = train_step(*args, **kwargs)
-        jax.block_until_ready((loss, grads))
-        return float(loss)
+    if scan:
+        # Fused-chunk mode (--scan, Trainer --scan-chunk): ITERS windows in
+        # ONE lax.scan program with on-device grad accumulation.  Windows
+        # must be genuinely DISTINCT data: with identical slices XLA hoists
+        # the loop-invariant VO forward out of the scan body and the
+        # "throughput" becomes fiction (measured 180x).
+        sds = testing.make_dataset(num_frames=ITERS * b + 1,
+                                   height=h, width=w)
+        simu = testing.make_imu_module(sds, batch_frames=b)
+        items = [testing.make_step_inputs(sds, simu, k * b, b)
+                 for k in range(ITERS)]
+        sbatch = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[it[0] for it in items])
+        swin = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[it[1] for it in items])
+        sargs = (variables, dn_params, sbatch, swin, items[0][2],
+                 args[5], args[6], args[7], args[8], args[9])
+        for _ in range(WARMUP):
+            losses, grads, aux = train_scan(*sargs, **kwargs)
+            jax.block_until_ready((losses, grads))
+        t0 = time.perf_counter()
+        losses, grads, aux = train_scan(*sargs, **kwargs)
+        jax.block_until_ready((losses, grads))
+        dt = (time.perf_counter() - t0) / ITERS
+    else:
+        def run_once():
+            loss, grads, aux = train_step(*args, **kwargs)
+            jax.block_until_ready((loss, grads))
+            return float(loss)
 
-    for _ in range(WARMUP):
-        loss = run_once()
+        for _ in range(WARMUP):
+            loss = run_once()
 
-    # Steady-state pipelined throughput: dispatch all steps asynchronously
-    # and block once at the end (training does the same -- host bookkeeping
-    # consumes outputs lazily), so per-dispatch latency overlaps execution.
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(ITERS):
-        loss, grads, aux = train_step(*args, **kwargs)
-        outs.append(loss)
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / ITERS
+        # Steady-state pipelined throughput: dispatch all steps
+        # asynchronously and block once at the end (training does the same
+        # -- host bookkeeping consumes outputs lazily), so per-dispatch
+        # latency overlaps execution.
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(ITERS):
+            loss, grads, aux = train_step(*args, **kwargs)
+            outs.append(loss)
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / ITERS
 
     steps_per_sec = 1.0 / dt
     result = {

@@ -56,6 +56,9 @@ def get_args(argv=None):
                         help='write a jax.profiler trace of one train step')
     parser.add_argument('--bf16', action='store_true', default=False,
                         help='run the conv stack in bfloat16')
+    parser.add_argument('--scan-chunk', type=int, default=0,
+                        help='fuse K sequential windows into one jitted '
+                             'lax.scan program (0/1 = per-window stepping)')
 
     args = parser.parse_args(argv)
     args.loss_weight = tuple(ast.literal_eval(args.loss_weight))

@@ -156,6 +156,52 @@ def _merge_pose_params(variables, pose_params):
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
+                     "denoise_accel", "denoise_gyro", "loss_weight",
+                     "rot_w", "trans_w", "bf16"))
+def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
+               rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
+               target="vo", datatype="kitti", correct_scale=False,
+               use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
+               loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
+               prev_motions=None, bf16=False):
+    """Fully-jitted chunk of K sequential windows (docs/TODO.md item 4).
+
+    ``batches``/``imu_wins``/``prev_motions`` carry a leading (K, ...) window
+    axis; the scan threads the PVGO-tail state and accumulates gradients
+    on device, so an entire chunk is ONE XLA program with zero host
+    involvement between windows (the reference's host loop, train.py:162-299,
+    disappears entirely for the chunk).
+
+    Returns (losses (K,), grads summed over windows, aux stacked (K, ...)).
+    """
+    trainable = (_get_pose_params(vo_variables) if target == "vo"
+                 else dn_params)
+    gacc0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+
+    def body(carry, xs):
+        init, gacc = carry
+        batch, win, prev = xs
+        loss, grads, aux = train_step(
+            vo_variables, dn_params, batch, win, init,
+            rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
+            target=target, datatype=datatype, correct_scale=correct_scale,
+            use_kitti_coord=use_kitti_coord, denoise_accel=denoise_accel,
+            denoise_gyro=denoise_gyro, loss_weight=loss_weight,
+            rot_w=rot_w, trans_w=trans_w, prev_motions=prev, bf16=bf16)
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+        out_aux = {k: aux[k] for k in ("motions", "imu_poses", "imu_vels",
+                                       "pgo_poses", "pgo_vels")}
+        return (aux["carry"], gacc), (loss, out_aux)
+
+    (final_state, grads), (losses, aux) = jax.lax.scan(
+        body, (init_state, gacc0), (batches, imu_wins, prev_motions))
+    aux["carry"] = final_state
+    return losses, grads, aux
+
+
 # ---------------------------------------------------------------------------
 # Host-side trainer
 # ---------------------------------------------------------------------------
@@ -266,11 +312,15 @@ class Trainer:
 
         def flush():
             for a in pending:
-                motions = np.asarray(a["motions"])
-                traj.extend(motions, np.asarray(a["pgo_poses"]),
-                            np.asarray(a["pgo_vels"]),
-                            np.asarray(a["imu_poses"]))
-                epoch_motions.append(motions)
+                m = np.asarray(a["motions"])
+                pg = np.asarray(a["pgo_poses"])
+                pv = np.asarray(a["pgo_vels"])
+                ip = np.asarray(a["imu_poses"])
+                if m.ndim == 2:  # single window; scanned chunks are (K, ...)
+                    m, pg, pv, ip = m[None], pg[None], pv[None], ip[None]
+                for k in range(m.shape[0]):
+                    traj.extend(m[k], pg[k], pv[k], ip[k])
+                    epoch_motions.append(m[k])
             pending.clear()
 
         # One-deep host prefetch: window k+1's data prep (decode, transforms,
@@ -298,8 +348,60 @@ class Trainer:
         def prefetch(bi):
             next_data[bi] = prepare(bi)
 
+        # ---- fully-jitted chunked scan over windows (train_scan) ----
+        # K sequential windows become ONE XLA program: state carry and grad
+        # accumulation happen inside lax.scan, removing all per-window host
+        # work.  Chunk size bounds device memory (K windows of images live
+        # in HBM at once).
+        scan_chunk = int(getattr(args, "scan_chunk", 0) or 0)
+        scanned = scan_chunk > 1 and target in ("vo", "imu")
+        per_window = 0 if scanned else n_batches
+        bi = 0
+        while scanned and bi < n_batches:
+            self.timer.tic("step")
+            K = min(scan_chunk, n_batches - bi)
+            items = [prepare(bi + k) for k in range(K)]
+            batches = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[it[0] for it in items])
+            wins = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[it[1] for it in items])
+            prev = None
+            if target != "vo" and self.prev_vo_motions is not None:
+                prev = jnp.asarray(
+                    self.prev_vo_motions[bi * B:(bi + K) * B].reshape(
+                        K, B, -1))
+            losses, grads, aux = train_scan(
+                self.vo_variables, self.dn_params, batches, wins, init_state,
+                self.rgb2imu_pose, self.imu_module.gravity,
+                self.imu_module.accel_bias, self.imu_module.gyro_bias,
+                jnp.asarray(self.imu_module.optm_bias),
+                target=target, datatype=self.dataset.datatype,
+                correct_scale=args.use_gt_scale,
+                use_kitti_coord=(self.dataset.datatype != "tartanair"),
+                denoise_accel=True,
+                denoise_gyro=(self.dataset.datatype != "kitti"),
+                loss_weight=tuple(float(w) for w in args.loss_weight),
+                rot_w=args.rot_w, trans_w=args.trans_w,
+                prev_motions=prev, bf16=getattr(args, "bf16", False))
+            init_state = aux.pop("carry")
+            pending.append(aux)
+            if grads is not None:
+                grad_accum = grads if grad_accum is None else (
+                    jax.tree_util.tree_map(jnp.add, grad_accum, grads))
+            bi += K
+            self.timer.toc("step")
+            if snapshot_dir and (bi <= 10 or (
+                    snapshot_interval and bi % snapshot_interval == 0)):
+                flush()
+                traj.save(snapshot_dir, epoch)
+            if getattr(self.args, "print_interval", 0) and (
+                    bi % self.args.print_interval == 0):
+                print(f"[window {bi}/{n_batches}] target={target} "
+                      f"loss={float(jnp.sum(losses)):.6f} "
+                      f"chunk={self.timer.last('step'):.3f}s")
+
         prefetcher = None
-        for bi in range(n_batches):
+        for bi in range(per_window):
             self.timer.tic("step")
             current_idx = bi * B
             if prefetcher is not None:

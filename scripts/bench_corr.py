@@ -5,7 +5,11 @@ Shapes are the five PWC pyramid levels at the reference workload
 latency amortized over ITERS in-flight programs), mirroring bench.py.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

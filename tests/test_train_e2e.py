@@ -108,3 +108,44 @@ class TestTrainerEpochs:
             assert (tmp_path / "1" / f).exists(), f
         poses = np.loadtxt(tmp_path / "1" / "pgo_pose.txt")
         assert poses.shape[1] == 7 and np.isfinite(poses).all()
+
+
+class TestScannedEpoch:
+    def test_scan_chunk_matches_per_window(self, tiny, tmp_path):
+        """--scan-chunk K (one lax.scan program per chunk) must reproduce the
+        per-window stepping path: same motions, same updated parameters."""
+        ds, _, _, _ = tiny
+
+        class Args:
+            batch_size = B
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+            scan_chunk = 0
+
+        t_ref = Trainer(Args(), ds)
+        t_ref.run_epoch(1, snapshot_dir=str(tmp_path / "ref"))
+
+        args2 = Args()
+        args2.scan_chunk = 2
+        t_scan = Trainer(args2, ds)
+        t_scan.run_epoch(1, snapshot_dir=str(tmp_path / "scan"))
+
+        np.testing.assert_allclose(t_scan.prev_vo_motions,
+                                   t_ref.prev_vo_motions, atol=1e-5)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(
+                    t_scan.vo_variables["params"]["flowPoseNet"]),
+                jax.tree_util.tree_leaves(
+                    t_ref.vo_variables["params"]["flowPoseNet"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+        ref_poses = np.loadtxt(tmp_path / "ref" / "1" / "pgo_pose.txt")
+        scan_poses = np.loadtxt(tmp_path / "scan" / "1" / "pgo_pose.txt")
+        np.testing.assert_allclose(scan_poses, ref_poses, atol=1e-4)
