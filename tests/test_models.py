@@ -316,12 +316,13 @@ class TestDenoiserParity:
 
 
 class TestPSMNetParity:
-    """Torch-oracle parity of the PSMNet stacked-hourglass alternate
-    (Network/PSM/stackhourglass.py).  The reference hard-codes .cuda() in its
-    cost volume and disparityregression (stackhourglass.py:117,
-    submodule.py:59), so the oracle runs with Tensor.cuda patched to the
-    identity (docs/TODO.md item 8).  basic.py is untestable as-is under
-    Python 3 (``range(self.maxdisp/4)`` with float division, basic.py:71)."""
+    """Torch-oracle parity of the PSMNet alternates (Network/PSM/{basic,
+    stackhourglass}.py).  The reference hard-codes .cuda() in its cost
+    volume and disparityregression (stackhourglass.py:117, submodule.py:59),
+    so the oracle runs with Tensor.cuda patched to the identity.  basic.py
+    additionally cannot run as-is under Python 3 (``range(self.maxdisp/4)``
+    with float division, basic.py:71) -- its oracle is loaded from source
+    with that single expression patched to integer division."""
 
     @needs_oracle
     def test_stackhourglass_matches_torch(self, monkeypatch):
@@ -352,6 +353,50 @@ class TestPSMNetParity:
         diff = np.abs(np.asarray(disp) - tdisp.numpy())
         # random saturated weights leave a few near-tied softmax pixels where
         # f32 noise amplifies; require exactness everywhere else
+        assert np.mean(diff) < 1e-3
+        assert np.percentile(diff, 99.9) < 5e-3
+        assert diff.max() < 0.05
+
+    @needs_oracle
+    def test_basic_matches_torch(self, monkeypatch):
+        from islam_tpu.models.psmnet import PSMNetBasic
+        from islam_tpu.utils.checkpoints import import_torch_weights
+
+        # Load basic.py from source with its Python-3 bug patched (float
+        # division in a range()/torch.zeros size, basic.py:66,71); the
+        # relative `from .submodule import *` resolves via __package__.
+        path = os.path.join(REF, "Network", "PSM", "basic.py")
+        with open(path) as f:
+            src = f.read().replace("self.maxdisp/4", "self.maxdisp//4")
+        import types as _types
+
+        import Network.PSM  # noqa: F401  (package context for the exec)
+        mod = _types.ModuleType("Network.PSM._basic_py3fix")
+        mod.__package__ = "Network.PSM"
+        sys.modules[mod.__name__] = mod
+        exec(compile(src, path, "exec"), mod.__dict__)
+
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **kw: self)
+
+        torch.manual_seed(9)
+        tmodel = mod.PSMNet(maxdisp=16).eval()
+        sd = to_numpy_sd(tmodel)
+
+        model = PSMNetBasic(maxdisp=16, train_bn=False)
+        rng = np.random.default_rng(10)
+        left = (rng.normal(size=(1, 256, 256, 3)) * 0.3).astype(np.float32)
+        right = (rng.normal(size=(1, 256, 256, 3)) * 0.3).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(left),
+                               jnp.asarray(right))
+        variables = import_torch_weights(variables, sd)
+
+        disp = model.apply(variables, jnp.asarray(left), jnp.asarray(right))
+        with torch.no_grad():
+            tdisp = tmodel(
+                torch.tensor(np.ascontiguousarray(left.transpose(0, 3, 1, 2))),
+                torch.tensor(np.ascontiguousarray(right.transpose(0, 3, 1, 2))))
+        diff = np.abs(np.asarray(disp)[:, 0] - tdisp.numpy())
         assert np.mean(diff) < 1e-3
         assert np.percentile(diff, 99.9) < 5e-3
         assert diff.max() < 0.05
