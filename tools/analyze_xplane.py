@@ -47,8 +47,12 @@ def main():
                 for m in plane.event_metadata.values()}
         per_op = collections.Counter()
         per_fam = collections.Counter()
+        # ONLY the synchronous "XLA Ops" line is additive per-op time.
+        # "Steps"/"XLA Modules" are whole-program envelopes and "Async XLA
+        # Ops" durations are overlapped spans (a copy-start..done pair can
+        # cover the entire step while costing nothing on the compute units).
         for line in plane.lines:
-            if "step" in line.name.lower():  # step lines double-count ops
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, "?")
