@@ -5,7 +5,11 @@ train.py:151 schedule) and records the per-epoch VO upper-level loss and the
 ATE of the raw-VO and PVGO trajectories -- the reference's headline result is
 that imperative iterations reduce VO ATE (README.md:15,33).
 
-Usage: python scripts/demo_imperative.py [epochs] [lr]
+Usage: python scripts/demo_imperative.py [epochs] [lr] [--f32]
+
+``--f32`` runs the conv stack in float32 instead of the default bfloat16 --
+used for the bf16 end-to-end accuracy study (docs/RESULTS.md): identical
+data and init, only the compute dtype differs.
 """
 
 import json
@@ -23,8 +27,10 @@ from islam_tpu.utils.evaluation import ate_rmse, rpe
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-4
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    epochs = int(pos[0]) if pos else 8
+    lr = float(pos[1]) if len(pos) > 1 else 1e-4
+    use_bf16 = "--f32" not in sys.argv
 
     ds = testing.make_dataset(num_frames=33, height=448, width=640)
 
@@ -38,7 +44,7 @@ def main():
         rot_w = 1.0
         trans_w = 0.1
         use_gt_scale = True
-        bf16 = True
+        bf16 = use_bf16
         print_interval = 0
 
     Args.lr = lr
