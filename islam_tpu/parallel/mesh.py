@@ -79,7 +79,8 @@ def host_local_batch_slice(n_sequences: int) -> slice:
 
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "seq") -> Any:
     """Place a pytree with a leading sequence dim onto the mesh, sharded on
-    axis 0."""
+    axis 0.  Single-process meshes only (device_put needs every device
+    addressable); multi-host feeding goes through ``global_shard_batch``."""
     sharding = NamedSharding(mesh, P(axis))
 
     def put(x):
@@ -92,6 +93,31 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+
+
+def global_shard_batch(mesh: Mesh, local_tree: Any, axis: str = "seq") -> Any:
+    """Assemble GLOBAL arrays from per-process local sequence shards.
+
+    Each process passes only the rows of the sequence axis it owns
+    (``host_local_batch_slice``); the result is a global jax.Array sharded
+    on ``axis`` over the (multi-host) mesh, the multi-controller analogue
+    of ``shard_batch``.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        local_tree)
+
+
+def global_replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree over a (multi-host) mesh; every process must pass
+    identical values (params, constants)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        tree)
 
 
 def multi_sequence_train_step(mesh: Mesh, **static_kwargs):
