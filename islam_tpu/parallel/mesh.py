@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from islam_tpu.train import train_step
+from islam_tpu.train import train_scan, train_step
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
@@ -153,4 +153,40 @@ def multi_sequence_train_step(mesh: Mesh, **static_kwargs):
         in_shardings=(repl, repl, data_sharding, data_sharding,
                       data_sharding, repl, repl, repl, repl, repl),
         out_shardings=(repl, repl, data_sharding),
+    )
+
+
+def multi_sequence_train_scan(mesh: Mesh, **static_kwargs):
+    """Fused-chunk variant of ``multi_sequence_train_step``: each sequence
+    runs K sequential windows as one lax.scan (on-device state carry + grad
+    accumulation, islam_tpu.train.train_scan), vmapped over the sharded
+    sequence axis — N x K windows per XLA program, the production scale-out
+    structure.  ``batches``/``imu_wins`` carry (N, K, ...) leading axes.
+
+    Returns (losses (N, K), grads summed over windows and averaged over
+    sequences, aux with ``aux['carry']`` = per-sequence tail states, sharded).
+    """
+    axis = mesh.axis_names[0]
+
+    def step(vo_variables, dn_params, batches, imu_wins, init_states,
+             rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias):
+        def one(batch, win, init):
+            return train_scan(
+                vo_variables, dn_params, batch, win, init,
+                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
+                **static_kwargs)
+
+        losses, grads, aux = jax.vmap(one)(batches, imu_wins, init_states)
+        if grads is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.mean(g, axis=0), grads)
+        return losses, grads, aux
+
+    data_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data_sharding, data_sharding,
+                      data_sharding, repl, repl, repl, repl, repl),
+        out_shardings=(data_sharding, repl, data_sharding),
     )

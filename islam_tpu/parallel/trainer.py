@@ -19,7 +19,8 @@ import numpy as np
 from islam_tpu.imu.module import IMUModule
 from islam_tpu.imu.preintegrator import IMUState
 from islam_tpu.models import tartanvo as tvo
-from islam_tpu.parallel.mesh import (make_mesh, multi_sequence_train_step,
+from islam_tpu.parallel.mesh import (make_mesh, multi_sequence_train_scan,
+                                     multi_sequence_train_step,
                                      replicate, shard_batch)
 from islam_tpu.testing import device_batch
 
@@ -71,13 +72,16 @@ class MultiSequenceTrainer:
         self.opt_state = self.opt.init(vo_variables["params"]["flowPoseNet"])
 
         datatype = datasets[0].datatype
-        self.step_fn = multi_sequence_train_step(
-            self.mesh, target="vo", datatype=datatype,
+        self._static_kwargs = dict(
+            target="vo", datatype=datatype,
             correct_scale=correct_scale,
             use_kitti_coord=(datatype != "tartanair"),
             denoise_accel=True, denoise_gyro=(datatype != "kitti"),
             loss_weight=tuple(float(x) for x in loss_weight),
             rot_w=rot_w, trans_w=trans_w, bf16=bf16)
+        self.step_fn = multi_sequence_train_step(
+            self.mesh, **self._static_kwargs)
+        self._scan_fn = None  # built on first scan_chunk use
 
         self._aux_consts = (
             replicate(self.mesh, jnp.asarray(
@@ -89,49 +93,84 @@ class MultiSequenceTrainer:
         )
         self._init_states = [dict(ds.imu_init) for ds in datasets]
 
-    def run_epoch(self):
+    def _window_inputs(self, start):
+        """Collate window [start, start+B) of every sequence."""
+        from islam_tpu.data.dataset import collate
+
+        batches, wins = [], []
+        for ds, imu in zip(self.datasets, self.imus):
+            sample = collate([ds[i] for i in range(start, start + self.B)])
+            batches.append(device_batch(sample, start))
+            wins.append(imu.window_inputs(start, start + self.B))
+        return batches, wins
+
+    def run_epoch(self, scan_chunk: int = 0):
+        """One epoch over all sequences in parallel.
+
+        ``scan_chunk`` > 1 fuses that many sequential windows per sequence
+        into one lax.scan program (multi_sequence_train_scan).  The
+        per-sequence state carry stays ON DEVICE between windows
+        (aux['carry']); only the epoch-end states are fetched.
+        """
         import optax
 
         n_batches = min(len(ds) for ds in self.datasets) // self.B
         grad_accum = None
         losses = []
-        for bi in range(n_batches):
-            start = bi * self.B
-            batches, wins, inits = [], [], []
-            for ds, imu, st in zip(self.datasets, self.imus,
-                                   self._init_states):
-                from islam_tpu.data.dataset import collate
-                sample = collate([ds[i] for i in
-                                  range(start, start + self.B)])
-                batches.append(device_batch(sample, start))
-                wins.append(imu.window_inputs(start, start + self.B))
-                inits.append(IMUState(
-                    pos=jnp.asarray(np.asarray(st["pos"]), jnp.float32),
-                    rot=jnp.asarray(np.asarray(st["rot"]), jnp.float32),
-                    vel=jnp.asarray(np.asarray(st["vel"]), jnp.float32)))
+        # per-epoch reset to the dataset init states (the reference's
+        # init_epoch, train.py:195-196)
+        inits_s = shard_batch(self.mesh, _stack([IMUState(
+            pos=jnp.asarray(np.asarray(ds.imu_init["pos"]), jnp.float32),
+            rot=jnp.asarray(np.asarray(ds.imu_init["rot"]), jnp.float32),
+            vel=jnp.asarray(np.asarray(ds.imu_init["vel"]), jnp.float32))
+            for ds in self.datasets]))
 
-            batches_s = shard_batch(self.mesh, _stack(batches))
-            wins_s = shard_batch(self.mesh, _stack(wins))
-            inits_s = shard_batch(self.mesh, _stack(inits))
+        if scan_chunk > 1:
+            if self._scan_fn is None:
+                self._scan_fn = multi_sequence_train_scan(
+                    self.mesh, **self._static_kwargs)
+            bi = 0
+            while bi < n_batches:
+                K = min(scan_chunk, n_batches - bi)
+                per_win = [self._window_inputs((bi + k) * self.B)
+                           for k in range(K)]
+                # (N, K, ...): stack windows per sequence, then sequences
+                batches_s = shard_batch(self.mesh, _stack(
+                    [_stack([per_win[k][0][s] for k in range(K)])
+                     for s in range(len(self.datasets))]))
+                wins_s = shard_batch(self.mesh, _stack(
+                    [_stack([per_win[k][1][s] for k in range(K)])
+                     for s in range(len(self.datasets))]))
+                loss_nk, grads, aux = self._scan_fn(
+                    self.vo_variables, self.dn_params, batches_s, wins_s,
+                    inits_s, *self._aux_consts)
+                inits_s = aux["carry"]
+                losses.extend(np.asarray(loss_nk).mean(axis=0).tolist())
+                if grads is not None:
+                    grad_accum = grads if grad_accum is None else (
+                        jax.tree_util.tree_map(jnp.add, grad_accum, grads))
+                bi += K
+        else:
+            for bi in range(n_batches):
+                batches, wins = self._window_inputs(bi * self.B)
+                batches_s = shard_batch(self.mesh, _stack(batches))
+                wins_s = shard_batch(self.mesh, _stack(wins))
 
-            loss, grads, aux = self.step_fn(
-                self.vo_variables, self.dn_params, batches_s, wins_s,
-                inits_s, *self._aux_consts)
-            losses.append(float(loss))
-            if grads is not None:
-                grad_accum = grads if grad_accum is None else (
-                    jax.tree_util.tree_map(jnp.add, grad_accum, grads))
+                loss, grads, aux = self.step_fn(
+                    self.vo_variables, self.dn_params, batches_s, wins_s,
+                    inits_s, *self._aux_consts)
+                losses.append(float(loss))
+                if grads is not None:
+                    grad_accum = grads if grad_accum is None else (
+                        jax.tree_util.tree_map(jnp.add, grad_accum, grads))
+                # per-sequence state carry, device-resident
+                inits_s = aux["carry"]
 
-            # per-sequence state carry
-            pgo_poses = np.asarray(aux["pgo_poses"])  # (N, B+1, 7)
-            pgo_vels = np.asarray(aux["pgo_vels"])
-            for s in range(len(self.datasets)):
-                tail = pgo_poses[s, -1]
-                self._init_states[s] = {
-                    "rot": tail[3:] / np.linalg.norm(tail[3:]),
-                    "pos": tail[:3],
-                    "vel": pgo_vels[s, -1],
-                }
+        # one fetch at epoch end, for inspection/checkpointing
+        carry = jax.tree_util.tree_map(np.asarray, inits_s)
+        self._init_states = [
+            {"pos": carry.pos[s], "rot": carry.rot[s], "vel": carry.vel[s]}
+            for s in range(len(self.datasets))]
 
         if grad_accum is not None:
             params = self.vo_variables["params"]["flowPoseNet"]
