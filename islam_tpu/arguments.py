@@ -35,10 +35,15 @@ def get_args(argv=None):
     parser.add_argument('--fix-model-parts', default=[], nargs='+')
     parser.add_argument('--rot-w', type=float, default=1)
     parser.add_argument('--trans-w', type=float, default=1)
-    parser.add_argument('--train-portion', type=float, default=1)
     parser.add_argument('--use-gt-scale', action='store_true', default=False)
-    parser.add_argument('--enable-mapping', action='store_true', default=False)
     parser.add_argument('--start-epoch', type=int, default=1)
+    # The following flags are parsed but unused, exactly as in the reference
+    # (arguments.py:26-69 defines them; train.py never reads them -- verified
+    # by grep, SURVEY.md section 5).  Kept so reference command lines port
+    # 1:1.  The reprojection factor itself IS available here, beyond the
+    # reference: run_pvgo(reproj=..., loss_weight=(..., w5)).
+    parser.add_argument('--train-portion', type=float, default=1)
+    parser.add_argument('--enable-mapping', action='store_true', default=False)
     parser.add_argument('--vo-reverse-edge', action='store_true', default=False)
     parser.add_argument('--vo-right-cam', action='store_true', default=False)
     parser.add_argument('--reproj-points', type=int, default=0)
