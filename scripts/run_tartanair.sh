@@ -35,4 +35,5 @@ python -m islam_tpu.train \
     --snapshot-interval 100 \
     --fix-model-parts flow stereo \
     --rot-w 1 --trans-w 0.1 \
+    ${SCAN_CHUNK:+--scan-chunk $SCAN_CHUNK} ${BF16:+--bf16} \
     | tee $result_dir/log.txt
