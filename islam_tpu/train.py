@@ -137,11 +137,31 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
         trainable = dn_params
     else:
         loss, aux = compute(_get_pose_params(vo_variables))
-        return loss, None, aux
+        return loss, None, _guard_nonfinite(loss, None, aux, init_state)[1]
 
     (loss, aux), grads = jax.value_and_grad(
         compute, has_aux=True)(trainable)
+    grads, aux = _guard_nonfinite(loss, grads, aux, init_state)
     return loss, grads, aux
+
+
+def _guard_nonfinite(loss, grads, aux, init_state):
+    """In-jit bad-window containment (beyond the reference, which would let
+    one nonfinite window poison the epoch's accumulated gradient AND every
+    downstream state carry, train.py:172-179,296-299): if the loss or any
+    gradient is nonfinite, the window's gradients are zeroed and the carry
+    falls back to the window's init state.  ``aux['ok']`` reports it."""
+    ok = jnp.isfinite(loss)
+    if grads is not None:
+        for g in jax.tree_util.tree_leaves(grads):
+            ok = ok & jnp.all(jnp.isfinite(g))
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+    aux = dict(aux)
+    aux["carry"] = jax.tree_util.tree_map(
+        lambda c, i: jnp.where(ok, c, i), aux["carry"], init_state)
+    aux["ok"] = ok
+    return grads, aux
 
 
 def _get_pose_params(variables):
@@ -193,7 +213,7 @@ def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
             rot_w=rot_w, trans_w=trans_w, prev_motions=prev, bf16=bf16)
         gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
         out_aux = {k: aux[k] for k in ("motions", "imu_poses", "imu_vels",
-                                       "pgo_poses", "pgo_vels")}
+                                       "pgo_poses", "pgo_vels", "ok")}
         return (aux["carry"], gacc), (loss, out_aux)
 
     (final_state, grads), (losses, aux) = jax.lax.scan(
@@ -298,6 +318,7 @@ class Trainer:
         grad_accum = None
         traj = _TrajLogs(init_state_np)
         epoch_motions = []
+        bad_windows = [0]  # nonfinite windows contained by _guard_nonfinite
 
         # Device-resident state carry + deferred bookkeeping: the next
         # window's init state is computed in-jit (aux["carry"]), so the host
@@ -316,6 +337,9 @@ class Trainer:
                 pg = np.asarray(a["pgo_poses"])
                 pv = np.asarray(a["pgo_vels"])
                 ip = np.asarray(a["imu_poses"])
+                if "ok" in a:
+                    bad_windows[0] += int(
+                        (~np.asarray(a["ok"]).reshape(-1)).sum())
                 if m.ndim == 2:  # single window; scanned chunks are (K, ...)
                     m, pg, pv, ip = m[None], pg[None], pv[None], ip[None]
                 for k in range(m.shape[0]):
@@ -467,6 +491,10 @@ class Trainer:
                       f"avg={self.timer.avg('step'):.3f}s")
 
         flush()
+        if bad_windows[0]:
+            print(f"WARNING: {bad_windows[0]} window(s) produced nonfinite "
+                  "loss/grads this epoch; their gradients were zeroed and "
+                  "state carries reset (aux['ok'])")
         # ---- ONE optimizer update per epoch (train.py:172-179) ----
         if grad_accum is not None:
             if target == "vo":
