@@ -522,26 +522,44 @@ class Trainer:
         from islam_tpu.data.dataset import collate
         return collate([self.dataset[i] for i in range(start, start + B)])
 
-    def save_models(self, directory, epoch):
-        state = {"vo_variables": self.vo_variables}
+    def _ckpt_state(self):
+        """Checkpoint pytree: params AND optimizer states (beyond the
+        reference, whose state_dict-only saves lose the Adam moments on
+        --start-epoch resume, train.py:181-189)."""
+        state = {"vo_variables": self.vo_variables,
+                 "vo_opt_state": self.vo_opt_state}
         if self.dn_params is not None:
             state["dn_params"] = self.dn_params
-        ckpt.save_checkpoint(directory, epoch, state)
+            state["imu_opt_state"] = self.imu_opt_state
+        return state
+
+    def save_models(self, directory, epoch):
+        ckpt.save_checkpoint(directory, epoch, self._ckpt_state())
 
     def resume(self, directory, start_epoch):
         """Scan {dir}/{k} for k < start_epoch and restore the most recent
-        checkpoint (the reference's resume scan, train.py:102-107,124-129)."""
+        checkpoint (the reference's resume scan, train.py:102-107,124-129).
+        Optimizer states restore too when present; params-only checkpoints
+        (older saves, imported weights) still load."""
         step = ckpt.latest_checkpoint_step(directory, start_epoch)
         if step is None:
             return None
-        template = {"vo_variables": self.vo_variables}
-        if self.dn_params is not None:
-            template["dn_params"] = self.dn_params
-        state = ckpt.restore_checkpoint(directory, step, template)
+        template = self._ckpt_state()
+        try:
+            state = ckpt.restore_checkpoint(directory, step, template)
+        except Exception:
+            template = {"vo_variables": self.vo_variables}
+            if self.dn_params is not None:
+                template["dn_params"] = self.dn_params
+            state = ckpt.restore_checkpoint(directory, step, template)
         self.vo_variables = state["vo_variables"]
-        if "dn_params" in state and state["dn_params"] is not None:
+        if state.get("vo_opt_state") is not None:
+            self.vo_opt_state = state["vo_opt_state"]
+        if state.get("dn_params") is not None:
             self.dn_params = state["dn_params"]
             self.imu_module.denoise_params = self.dn_params
+        if state.get("imu_opt_state") is not None:
+            self.imu_opt_state = state["imu_opt_state"]
         print(f"Resumed from {directory}/{step}")
         return step
 

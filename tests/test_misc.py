@@ -87,6 +87,42 @@ class TestResume:
         b = jax.tree_util.tree_leaves(t2.vo_variables["params"])[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_optimizer_state_round_trips(self, tmp_path):
+        """Adam moments survive save/resume (beyond the reference's
+        state_dict-only checkpoints)."""
+        import jax
+        import jax.numpy as jnp
+        from islam_tpu import testing
+        from islam_tpu.train import Trainer
+
+        ds = testing.make_dataset(num_frames=3, height=64, width=128)
+
+        class Args:
+            batch_size = 2
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        t1 = Trainer(Args(), ds)
+        # fake a non-trivial opt state (as after one epoch's update)
+        t1.vo_opt_state = jax.tree_util.tree_map(
+            lambda x: x + 0.5 if hasattr(x, "dtype")
+            and x.dtype == jnp.float32 else x,
+            t1.vo_opt_state)
+        t1.save_models(str(tmp_path), 2)
+
+        t2 = Trainer(Args(), ds)
+        assert t2.resume(str(tmp_path), start_epoch=4) == 2
+        for a, b in zip(jax.tree_util.tree_leaves(t1.vo_opt_state),
+                        jax.tree_util.tree_leaves(t2.vo_opt_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
     def test_resume_none_when_no_checkpoint(self, tmp_path):
         from islam_tpu.utils.checkpoints import latest_checkpoint_step
 
