@@ -127,3 +127,34 @@ class TestResume:
         from islam_tpu.utils.checkpoints import latest_checkpoint_step
 
         assert latest_checkpoint_step(str(tmp_path), 5) is None
+
+
+class TestEvaluateScript:
+    def test_evaluate_result_dir(self, tmp_path):
+        """scripts/evaluate.py computes ATE/RPE per (epoch, kind) from a
+        snapshot directory layout (train.py:51-61 format)."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        rng = np.random.default_rng(3)
+        n = 12
+        t = np.cumsum(rng.normal(scale=0.1, size=(n, 3)), axis=0)
+        q = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+        gt = np.hstack([t, q])
+        np.savetxt(tmp_path / "gt_pose.txt", gt)
+        os.makedirs(tmp_path / "1")
+        est = gt.copy()
+        est[:, :3] += rng.normal(scale=0.01, size=(n, 3))
+        np.savetxt(tmp_path / "1" / "pgo_pose.txt", est)
+
+        script = os.path.join(os.path.dirname(__file__), "..",
+                              "scripts", "evaluate.py")
+        out = subprocess.run([sys.executable, script, str(tmp_path)],
+                             capture_output=True, text=True, check=True)
+        lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+        rec = next(l for l in lines if l.get("kind") == "pgo_pose")
+        assert rec["epoch"] == 1 and rec["frames"] == n
+        assert 0 < rec["ate"] < 0.05 and rec["rpe_rot"] < 1e-6
+        assert any("best_pgo_pose" in l for l in lines)
