@@ -64,6 +64,10 @@ def get_args(argv=None):
     parser.add_argument('--scan-chunk', type=int, default=0,
                         help='fuse K sequential windows into one jitted '
                              'lax.scan program (0/1 = per-window stepping)')
+    parser.add_argument('--eval-only', action='store_true', default=False,
+                        help='inference: one forward+PVGO pass over the '
+                             'trajectory (no gradients, no updates), '
+                             'snapshots to {result-dir}/0')
 
     args = parser.parse_args(argv)
     args.loss_weight = tuple(ast.literal_eval(args.loss_weight))

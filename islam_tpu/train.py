@@ -71,9 +71,12 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
         if target == "vo":
             variables = _merge_pose_params(vo_variables, trainable)
             dn = dn_params
-        else:
+        elif target == "imu":
             variables = vo_variables
             dn = trainable
+        else:  # inference (epoch-0 '' target): nothing is trainable
+            variables = vo_variables
+            dn = dn_params
 
         # ----- VO forward (skipped and replayed during IMU epochs,
         # train.py:204-215) -----
@@ -685,6 +688,17 @@ def main(argv=None):
             f.write(str(args))
         np.savetxt(trainroot + "/gt_pose.txt", dataset.poses)
         np.savetxt(trainroot + "/timestamp.txt", dataset.rgb_ts, fmt="%.3f")
+
+    if getattr(args, "eval_only", False):
+        # Inference: epoch 0 has target '' (train_target schedule,
+        # train.py:151) -- full VO forward + IMU + PVGO fusion per window,
+        # no gradients, no parameter updates.
+        t0 = time.time()
+        trainer.run_epoch(0, snapshot_dir=args.result_dir or None,
+                          snapshot_interval=args.snapshot_interval)
+        print(f"eval-only pass time={time.time() - t0:.1f}s "
+              f"(snapshots under {trainroot}/0)")
+        return
 
     for epoch in range(args.start_epoch, args.train_epoch + 1):
         t0 = time.time()

@@ -55,6 +55,16 @@ class TestTrainStep:
         total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
         assert np.isfinite(total) and total > 0
 
+    def test_none_target_inference(self, tiny):
+        """Epoch-0 '' target (--eval-only): forward + PVGO only, no grads.
+        Regression test: this path once routed pose params into the
+        denoiser slot."""
+        loss, grads, aux = _step(tiny, "none")
+        assert grads is None
+        assert np.isfinite(float(loss))
+        assert bool(aux["ok"])
+        assert np.isfinite(np.asarray(aux["pgo_poses"])).all()
+
     def test_outputs_consistent_chain(self, tiny):
         _, _, aux = _step(tiny, "vo")
         pgo = np.asarray(aux["pgo_poses"])
