@@ -120,6 +120,49 @@ class TestTrainerEpochs:
         assert poses.shape[1] == 7 and np.isfinite(poses).all()
 
 
+class TestTrainerOnDiskLoader:
+    def test_epoch_over_tartanair_fixture(self, tmp_path):
+        """Loader -> transforms -> Trainer integration over an ON-DISK
+        TartanAir fixture (the synthetic-dataset e2e tests bypass the file
+        loaders entirely)."""
+        from test_data import make_tartanair_fixture
+
+        from islam_tpu.data.dataset import TrajFolderDataset
+        from islam_tpu.data.transforms import (Compose, CropCenter,
+                                               DownscaleFlow, Normalize,
+                                               ToNHWCTensor)
+
+        root = str(tmp_path / "P000")
+        make_tartanair_fixture(root, n=5, h=96, w=192)
+        transform = Compose([
+            CropCenter((64, 128), fix_ratio=True),
+            DownscaleFlow(),
+            Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225],
+                      keep_old=True),
+            ToNHWCTensor(),
+        ])
+        ds = TrajFolderDataset(datadir=root, datatype="tartanair",
+                               transform=transform)
+
+        class Args:
+            batch_size = B
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        trainer = Trainer(Args(), ds)
+        trainer.run_epoch(1, snapshot_dir=str(tmp_path / "out"))
+        poses = np.loadtxt(tmp_path / "out" / "1" / "pgo_pose.txt")
+        assert poses.shape[1] == 7 and np.isfinite(poses).all()
+        assert len(poses) == len(ds) // B * B + 1
+
+
 class TestNanGuard:
     def test_guard_unit(self):
         """_guard_nonfinite zeroes grads and resets the carry when loss or
