@@ -15,5 +15,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full sweep compiles hundreds of XLA:CPU programs in one process;
+    accumulated JIT state has been observed to segfault the compiler late in
+    the run (backend_compile of a trivial initializer program, flaky).
+    Dropping executables between modules keeps the compiler state bounded at
+    the cost of a few cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
