@@ -37,16 +37,18 @@ def get_args(argv=None):
     parser.add_argument('--trans-w', type=float, default=1)
     parser.add_argument('--use-gt-scale', action='store_true', default=False)
     parser.add_argument('--start-epoch', type=int, default=1)
+    # LIVE here, dead in the reference (parsed but never read by its
+    # train.py): nonzero enables the dense reprojection factor as PVGO's
+    # 5th residual block, weighted by loss_weight[4] (default 1.0).
+    parser.add_argument('--reproj-points', type=int, default=0)
     # The following flags are parsed but unused, exactly as in the reference
     # (arguments.py:26-69 defines them; train.py never reads them -- verified
     # by grep, SURVEY.md section 5).  Kept so reference command lines port
-    # 1:1.  The reprojection factor itself IS available here, beyond the
-    # reference: run_pvgo(reproj=..., loss_weight=(..., w5)).
+    # 1:1.
     parser.add_argument('--train-portion', type=float, default=1)
     parser.add_argument('--enable-mapping', action='store_true', default=False)
     parser.add_argument('--vo-reverse-edge', action='store_true', default=False)
     parser.add_argument('--vo-right-cam', action='store_true', default=False)
-    parser.add_argument('--reproj-points', type=int, default=0)
     parser.add_argument('--imu-lr', type=float, default=1e-5)
     parser.add_argument('--imu-epoch', type=int, default=50)
     parser.add_argument('--use-est-cov', action='store_true', default=False)

@@ -63,6 +63,8 @@ def reproj_residual(nodes: jax.Array, reproj) -> jax.Array:
     err = reproj(motion)
     if err.ndim == 3:
         err = err.reshape(err.shape[0], -1)
+    elif err.ndim == 1:  # dense loss: per-frame mean, one residual per edge
+        err = err[:, None]
     return err
 
 

@@ -82,9 +82,10 @@ def run_pvgo(init_nodes, init_vels, vo_motions, links, dts,
             (transvelerr * w[3]).reshape(-1),
         ]
         if reproj is not None:
-            # info scaled (w4/N)^2 per keypoint (pvgo.py:130-131)
+            # info scaled (w4/N)^2 per keypoint (pvgo.py:130-131); a dense
+            # per-frame-mean loss has one residual per edge (N=1)
             rerr = G.reproj_residual(nodes, reproj)
-            n_points = rerr.shape[1] // 2
+            n_points = max(rerr.shape[1] // 2, 1)
             w4 = (jnp.asarray(loss_weight[4], init_vels.dtype)
                   if len(loss_weight) > 4 else jnp.asarray(1.0))
             blocks.append((rerr * (w4 / n_points)).reshape(-1))
@@ -158,6 +159,6 @@ def run_pvgo(init_nodes, init_vels, vo_motions, links, dts,
     if reproj is not None and len(loss_weight) > 4:
         covs["reproj"] = jnp.full(
             (init_nodes.shape[0] - 1,),
-            (jnp.asarray(loss_weight[4]) / reproj.N) ** 2)
+            (jnp.asarray(loss_weight[4]) / getattr(reproj, "N", 1)) ** 2)
 
     return trans_loss, rot_loss, nodes, vels, covs

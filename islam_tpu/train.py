@@ -45,13 +45,13 @@ from islam_tpu.utils import checkpoints as ckpt
     jax.jit,
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
-                     "rot_w", "trans_w", "bf16"))
+                     "rot_w", "trans_w", "bf16", "use_reproj"))
 def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
-               prev_motions=None, bf16=False):
+               prev_motions=None, bf16=False, use_reproj=False):
     """One imperative step over a window of B frame-pairs.
 
     batch: dict of device arrays (img0, img1, img0_norm, img0_r_norm,
@@ -80,6 +80,7 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
 
         # ----- VO forward (skipped and replayed during IMU epochs,
         # train.py:204-215) -----
+        reproj = None
         if target == "vo" or prev_motions is None:
             baseline = jnp.linalg.norm(batch["extrinsic"][:, :3], axis=1)
             res = tvo.forward(
@@ -96,6 +97,16 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
             T_IL = rgb2imu_pose
             motions = lie.se3_mul(
                 T_IL[None], lie.se3_mul(motions, lie.se3_inv(T_IL)[None]))
+            # ----- optional 5th PVGO factor (live here; the reference
+            # parses --reproj-points but never wires it) -----
+            if use_reproj and not correct_scale:
+                from islam_tpu.ops.dense_ba import DenseReprojectionLoss
+                k = res["intrinsic"]
+                reproj = DenseReprojectionLoss(
+                    res["depth"], jnp.moveaxis(res["flow"], -1, 1),
+                    k[0], k[1], k[2], k[3],
+                    jnp.logical_and(res["mask"], res["depth_mask"]),
+                    rgb2imu_pose)
         else:
             motions = prev_motions
 
@@ -114,7 +125,8 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
         trans_loss, rot_loss, pgo_poses, pgo_vels, _ = run_pvgo(
             imu_poses, imu_vels, motions, links, dts,
             imu["drot"], imu["dpos"], imu["dvel"],
-            radius=1e4, loss_weight=loss_weight, target=target)
+            radius=1e4, loss_weight=loss_weight, reproj=reproj,
+            target=target)
 
         loss = jnp.sum(rot_w * rot_loss) + jnp.sum(trans_w * trans_loss)
         # Next-window init state computed IN-JIT (quaternion renorm,
@@ -183,13 +195,13 @@ def _merge_pose_params(variables, pose_params):
     jax.jit,
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
-                     "rot_w", "trans_w", "bf16"))
+                     "rot_w", "trans_w", "bf16", "use_reproj"))
 def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
-               prev_motions=None, bf16=False):
+               prev_motions=None, bf16=False, use_reproj=False):
     """Fully-jitted chunk of K sequential windows (docs/TODO.md item 4).
 
     ``batches``/``imu_wins``/``prev_motions`` carry a leading (K, ...) window
@@ -213,7 +225,8 @@ def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
             target=target, datatype=datatype, correct_scale=correct_scale,
             use_kitti_coord=use_kitti_coord, denoise_accel=denoise_accel,
             denoise_gyro=denoise_gyro, loss_weight=loss_weight,
-            rot_w=rot_w, trans_w=trans_w, prev_motions=prev, bf16=bf16)
+            rot_w=rot_w, trans_w=trans_w, prev_motions=prev, bf16=bf16,
+            use_reproj=use_reproj)
         gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
         out_aux = {k: aux[k] for k in ("motions", "imu_poses", "imu_vels",
                                        "pgo_poses", "pgo_vels", "ok")}
@@ -409,7 +422,8 @@ class Trainer:
                 denoise_gyro=(self.dataset.datatype != "kitti"),
                 loss_weight=tuple(float(w) for w in args.loss_weight),
                 rot_w=args.rot_w, trans_w=args.trans_w,
-                prev_motions=prev, bf16=getattr(args, "bf16", False))
+                prev_motions=prev, bf16=getattr(args, "bf16", False),
+                use_reproj=getattr(args, "reproj_points", 0) > 0)
             init_state = aux.pop("carry")
             pending.append(aux)
             if grads is not None:
@@ -466,7 +480,8 @@ class Trainer:
                 denoise_gyro=(self.dataset.datatype != "kitti"),
                 loss_weight=tuple(float(w) for w in args.loss_weight),
                 rot_w=args.rot_w, trans_w=args.trans_w,
-                prev_motions=prev, bf16=getattr(args, "bf16", False))
+                prev_motions=prev, bf16=getattr(args, "bf16", False),
+                use_reproj=getattr(args, "reproj_points", 0) > 0)
 
             if profiling:
                 jax.block_until_ready(loss)

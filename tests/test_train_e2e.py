@@ -55,6 +55,32 @@ class TestTrainStep:
         total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
         assert np.isfinite(total) and total > 0
 
+    def test_vo_target_with_reproj_factor(self, tiny):
+        """--reproj-points wiring: the dense reprojection 5th factor is
+        built in-jit from the VO forward's depth/flow and the step stays
+        finite.  (On this synthetic input the scale-recovery masks are
+        empty -- an untrained stereo net yields sub-threshold disparity --
+        so the factor's numeric no-op-ness is expected; its influence on
+        the solve is covered at the PVGO level in
+        tests/test_variants.py::TestReprojFactor.)"""
+        ds, imu, variables, dn_p = tiny
+        batch, win, init = testing.make_step_inputs(ds, imu, 0, B)
+        args = (jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
+                imu.gravity, imu.accel_bias, imu.gyro_bias,
+                jnp.asarray(False))
+        common = dict(
+            target="vo", datatype="kitti", correct_scale=False,
+            use_kitti_coord=True, denoise_accel=True, denoise_gyro=False,
+            rot_w=1.0, trans_w=0.1)
+        loss_r, grads_r, aux_r = train_step(
+            variables, dn_p, batch, win, init, *args,
+            loss_weight=(1.0, 0.1, 10.0, 0.1, 5.0), use_reproj=True,
+            **common)
+        assert np.isfinite(float(loss_r)) and bool(aux_r["ok"])
+        total = sum(float(jnp.sum(jnp.abs(g)))
+                    for g in jax.tree_util.tree_leaves(grads_r))
+        assert np.isfinite(total) and total > 0
+
     def test_none_target_inference(self, tiny):
         """Epoch-0 '' target (--eval-only): forward + PVGO only, no grads.
         Regression test: this path once routed pose params into the

@@ -130,6 +130,37 @@ class TestReprojFactor:
             target="vo")
         assert np.isfinite(np.asarray(nodes)).all()
 
+    def test_pvgo_with_dense_reproj_influences_solution(self):
+        """An ACTIVE dense reprojection factor (full masks, valid depth)
+        shifts the PVGO solution -- covers the --reproj-points training
+        wiring end to end at the solve level."""
+        from islam_tpu.ops.dense_ba import DenseReprojectionLoss
+        from islam_tpu.pvgo.run import run_pvgo
+        from tests.test_pvgo import make_problem, B
+
+        p = make_problem(noise=0.02)
+        H, W = 16, 24
+        fx = fy = 20.0
+        depth = 5.0 * np.ones((B, H, W), np.float32)
+        # flow inconsistent with the VO motions -> nonzero residual
+        flow = 0.5 * np.ones((B, 2, H, W), np.float32)
+        reproj = DenseReprojectionLoss(
+            depth, flow, fx, fy, W / 2, H / 2,
+            np.ones((B, H, W), bool),
+            np.asarray([0, 0, 0, 0, 0, 0, 1], np.float32))
+        common = (p["gt_poses"].data, jnp.asarray(p["gt_vels"]),
+                  p["vo_motions"], p["links"], p["dts"],
+                  p["imu_drots"], p["imu_dtrans"], p["imu_dvels"])
+        _, _, nodes_r, _, covs = run_pvgo(
+            *common, loss_weight=(1.0, 0.1, 10.0, 0.1, 50.0),
+            reproj=reproj, target="vo")
+        _, _, nodes_0, _, _ = run_pvgo(
+            *common, loss_weight=(1.0, 0.1, 10.0, 0.1), target="vo")
+        assert np.isfinite(np.asarray(nodes_r)).all()
+        assert "reproj" in covs
+        assert not np.allclose(np.asarray(nodes_r), np.asarray(nodes_0),
+                               atol=1e-6)
+
 
 class TestJoinFlow:
     def test_zero_flows_interior(self):
