@@ -49,9 +49,12 @@ def get_args(argv=None):
     parser.add_argument('--enable-mapping', action='store_true', default=False)
     parser.add_argument('--vo-reverse-edge', action='store_true', default=False)
     parser.add_argument('--vo-right-cam', action='store_true', default=False)
-    parser.add_argument('--imu-lr', type=float, default=1e-5)
     parser.add_argument('--imu-epoch', type=int, default=50)
     parser.add_argument('--use-est-cov', action='store_true', default=False)
+    # --imu-lr IS honored here (unlike the reference, which declares it with
+    # default 1e-5 at arguments.py:64 but hard-codes lr=3e-5 at train.py:142);
+    # the default is the reference's BEHAVIORAL value.
+    parser.add_argument('--imu-lr', type=float, default=3e-5)
     # islam_tpu extensions (not in the reference flag set)
     parser.add_argument('--image-height', type=int, default=448,
                         help='input crop height (default 448)')

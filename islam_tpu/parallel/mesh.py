@@ -47,12 +47,18 @@ def initialize_distributed(coordinator_address: str | None = None,
     builds the sequence mesh over the full slice.  No-ops if the
     distributed runtime is already initialized (single-process tests).
     """
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except RuntimeError as e:
+        # Belt and braces: jax 0.9 raises "distributed.initialize should
+        # only be called once", older versions said "already initialized".
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 
@@ -71,8 +77,18 @@ def make_global_mesh(axis: str = "seq") -> Mesh:
 
 
 def host_local_batch_slice(n_sequences: int) -> slice:
-    """The contiguous block of the global sequence axis owned by this host."""
-    per = n_sequences // max(jax.process_count(), 1)
+    """The contiguous block of the global sequence axis owned by this host.
+
+    ``n_sequences`` must divide evenly over processes — the same requirement
+    ``global_shard_batch``'s assembly has — otherwise trailing sequences
+    would be silently owned by no host.
+    """
+    procs = max(jax.process_count(), 1)
+    if n_sequences % procs != 0:
+        raise ValueError(
+            f"n_sequences={n_sequences} does not divide over "
+            f"{procs} processes; pad or drop the remainder explicitly")
+    per = n_sequences // procs
     start = jax.process_index() * per
     return slice(start, start + per)
 

@@ -3,19 +3,50 @@
 TPU-native replacement for the PyPose optimizer stack used by the reference
 (pvgo.py:169-180): ``Cholesky`` solver + ``TrustRegion(radius=1e4)`` strategy
 + ``LM(min=1e-4, vectorize=True)`` + ``StopOnPlateau(steps=10, patience=3,
-decreasing=1e-3)``.  Design choices:
+decreasing=1e-3)``.
+
+The update rules reproduce PyPose's documented semantics (see
+``islam_tpu/pvgo/pypose_replica.py`` for the host-side executable spec and
+``tests/test_pvgo.py::TestPyPoseParity`` for the step-for-step parity tests):
+
+- **LM damping** (``pp.optim.LM(min=1e-4)``): the damped normal matrix is
+  ``A = J^T J + (1/radius) * diag(clamp(diag(J^T J), min, max))`` — i.e. the
+  classic Marquardt diagonal scaling with the diagonal clamped into
+  ``[min, max]`` before damping, damping factor = 1/trust-region radius.
+- **Trust region** (``pp.optim.strategy.TrustRegion(radius=1e4)``): after
+  every trial step, step quality rho = (actual cost decrease) / (decrease
+  predicted by the linearized model ``||r + J d||^2``).  If
+  ``rho > quality_factor`` the radius grows by ``radius_up`` (clamped to
+  ``radius_max``), else shrinks by ``radius_down`` (clamped to
+  ``radius_min``); damping is always 1/radius.
+- **Reject loop** (``pp.optim.LM(reject=16)``): a trial step whose cost is
+  WORSE than the current cost is rolled back and re-tried with the shrunken
+  radius (same Jacobian — only the damping changes), up to ``max_rejects``
+  times inside ONE optimizer step; only then does the step give up and
+  return the unchanged state.  A step is accepted iff ``new_cost <= cost``
+  (NaN costs compare false, so divergent Cholesky solves at huge radii are
+  rejected and self-correct by shrinking the radius).
+- **Plateau scheduler** (``StopOnPlateau(steps=10, patience=3,
+  decreasing=1e-3)``): stop after ``max_steps`` optimizer steps, or once the
+  relative cost decrease ``(last - cost)/last`` has stayed below
+  ``decreasing`` for ``patience`` consecutive steps.  Because rejected steps
+  never increase the cost, "last cost" and "best cost" coincide.
+
+Design choices (TPU-first):
 
 - Retraction-based tangent parameterization: pose update Exp(xi) o T (left
-  multiplicative), velocity update additive.  Jacobians via ``jax.jacfwd`` of
-  the residual at the zero tangent -- one traced program, no per-factor
-  hand-derived Jacobians, exact to machine precision.
+  multiplicative, matching pp.LieTensor's ``x + delta = Exp(delta) @ x``
+  retraction used by ``_Optimizer.update_parameter``), velocity update
+  additive.  Jacobians via ``jax.jacfwd`` of the residual at the zero
+  tangent -- one traced program, no per-factor hand-derived Jacobians.
 - Dense normal equations.  The graph is tiny (B=8 -> 81 DoF) and
   chain-structured; a dense Cholesky of the 81x81 Hessian is a single fused
   MXU op, far faster on TPU than exploiting block-tridiagonal sparsity at
   this size.
-- The optimization loop is a ``lax.while_loop`` with trust-region
-  accept/reject and plateau stopping, so the whole solve (and everything
-  around it) compiles to ONE XLA program with zero host round-trips.
+- The optimization loop is a ``lax.while_loop`` (outer scheduler steps) with
+  a nested ``lax.while_loop`` (reject re-tries; they reuse the Jacobian, so
+  a reject costs one Cholesky + one residual evaluation only), compiling to
+  ONE XLA program with zero host round-trips.
 """
 
 from __future__ import annotations
@@ -31,14 +62,110 @@ from islam_tpu import lie
 class LMConfig(NamedTuple):
     radius: float = 1e4          # initial trust-region radius (pvgo.py:170)
     damping_min: float = 1e-4    # diagonal clamp floor (pvgo.py:171 `min`)
-    damping_max: float = 1e32
+    damping_max: float = 1e32    # diagonal clamp ceiling (pp.optim.LM `max`)
     max_steps: int = 10          # StopOnPlateau steps (pvgo.py:172)
     patience: int = 3            # StopOnPlateau patience
     decreasing: float = 1e-3     # StopOnPlateau relative-decrease threshold
-    radius_up: float = 2.0
-    radius_down: float = 0.25
+    radius_up: float = 2.0       # TrustRegion growth factor `up`
+    radius_down: float = 0.5     # TrustRegion shrink factor `down`
     radius_max: float = 1e16
-    radius_min: float = 1e-8
+    radius_min: float = 1e-6
+    quality_factor: float = 1e-3  # TrustRegion quality threshold `factor`
+    max_rejects: int = 16        # pp.optim.LM `reject`
+
+
+class _StepState(NamedTuple):
+    nodes: jax.Array
+    vels: jax.Array
+    radius: jax.Array
+    cost: jax.Array      # cost after this step (== last cost if all rejected)
+    patience: jax.Array  # consecutive below-threshold-decrease steps
+    step: jax.Array      # scheduler steps taken
+
+
+def _tangent_dims(n_nodes: int) -> int:
+    return 6 * n_nodes + 3 * n_nodes
+
+
+def _apply_delta(nodes, vels, delta):
+    N = nodes.shape[0]
+    xi = delta[: 6 * N].reshape(N, 6)
+    dv = delta[6 * N:].reshape(N, 3)
+    return lie.se3_retract(nodes, xi), vels + dv
+
+
+def _make_outer_step(residual_fn, config: LMConfig):
+    """One scheduler step: linearize once, then the damped-solve reject loop."""
+
+    def cost_of(r):
+        return jnp.sum(r * r)
+
+    def outer(state: _StepState) -> _StepState:
+        nodes, vels, radius, last, patience, step = state
+        D = _tangent_dims(nodes.shape[0])
+        zero = jnp.zeros((D,), vels.dtype)
+        J = jax.jacfwd(
+            lambda d: residual_fn(*_apply_delta(nodes, vels, d)))(zero)
+        r = residual_fn(nodes, vels)
+        H = J.T @ J
+        g = J.T @ r
+        # pp.optim.LM: damping acts on the clamped diagonal of J^T J.
+        diag_clamped = jnp.clip(jnp.diagonal(H),
+                                config.damping_min, config.damping_max)
+
+        def inner_body(s):
+            accepted, rejects, radius, nodes_c, vels_c, cost_c = s
+            A = H + jnp.diag(diag_clamped / radius)
+            L = jnp.linalg.cholesky(A)
+            delta = -jax.scipy.linalg.cho_solve((L, True), g)
+            new_nodes, new_vels = _apply_delta(nodes, vels, delta)
+            new_cost = cost_of(residual_fn(new_nodes, new_vels))
+            # TrustRegion.update: rho vs the linearized model
+            # ||r + J d||^2 = ||r||^2 + d.(J^T (2 r + J d)).
+            Jd = J @ delta
+            predicted = -(Jd @ (2.0 * r + Jd))
+            quality = (last - new_cost) / jnp.maximum(predicted, 1e-30)
+            new_radius = jnp.where(
+                quality > config.quality_factor,
+                jnp.minimum(radius * config.radius_up, config.radius_max),
+                jnp.maximum(radius * config.radius_down, config.radius_min))
+            # pp.optim.LM accept rule: reject iff last < new (NaN rejects).
+            acc = new_cost <= last
+            nodes_c = jnp.where(acc, new_nodes, nodes_c)
+            vels_c = jnp.where(acc, new_vels, vels_c)
+            cost_c = jnp.where(acc, new_cost, cost_c)
+            return (acc, rejects + (~acc).astype(jnp.int32), new_radius,
+                    nodes_c, vels_c, cost_c)
+
+        def inner_cond(s):
+            accepted, rejects, *_ = s
+            return jnp.logical_and(~accepted, rejects < config.max_rejects)
+
+        inner0 = (jnp.asarray(False), jnp.asarray(0, jnp.int32), radius,
+                  nodes, vels, last)
+        _, _, radius, nodes, vels, cost = jax.lax.while_loop(
+            inner_cond, inner_body, inner0)
+
+        # StopOnPlateau.step: relative decrease vs the last (== best) cost.
+        rel_dec = (last - cost) / jnp.maximum(last, 1e-30)
+        patience = jnp.where(rel_dec < config.decreasing,
+                             patience + 1, jnp.zeros_like(patience))
+        return _StepState(nodes, vels, radius, cost, patience, step + 1)
+
+    def continual(state: _StepState):
+        return jnp.logical_and(state.step < config.max_steps,
+                               state.patience < config.patience)
+
+    return outer, continual, cost_of
+
+
+def _init_state(residual_fn, nodes0, vels0, config, cost_of) -> _StepState:
+    r0 = residual_fn(nodes0, vels0)
+    return _StepState(
+        nodes0, vels0,
+        jnp.asarray(config.radius, vels0.dtype),
+        cost_of(r0),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
 
 def lm_solve_manifold(residual_fn: Callable[[jax.Array, jax.Array], jax.Array],
@@ -54,70 +181,39 @@ def lm_solve_manifold(residual_fn: Callable[[jax.Array, jax.Array], jax.Array],
     Returns:
         (nodes, vels, final_cost, steps_taken)
     """
-    N = nodes0.shape[0]
-    D = 6 * N + 3 * N
-
     nodes0 = jax.lax.stop_gradient(nodes0)
     vels0 = jax.lax.stop_gradient(vels0)
+    outer, continual, cost_of = _make_outer_step(residual_fn, config)
+    init = _init_state(residual_fn, nodes0, vels0, config, cost_of)
+    final = jax.lax.while_loop(continual, outer, init)
+    return final.nodes, final.vels, final.cost, final.step
 
-    def apply_delta(nodes, vels, delta):
-        xi = delta[: 6 * N].reshape(N, 6)
-        dv = delta[6 * N:].reshape(N, 3)
-        return lie.se3_retract(nodes, xi), vels + dv
 
-    def res_at(nodes, vels, delta):
-        n2, v2 = apply_delta(nodes, vels, delta)
-        return residual_fn(n2, v2)
+def lm_solve_trace(residual_fn, nodes0, vels0,
+                   config: LMConfig = LMConfig()):
+    """Like :func:`lm_solve_manifold` but records every scheduler step.
 
-    def cost_of(r):
-        return jnp.sum(r * r)
+    Runs a fixed ``config.max_steps``-length ``lax.scan`` whose body freezes
+    the state once the StopOnPlateau criterion fires, and returns the
+    per-step ``_StepState`` stack plus an ``active`` mask.  Used by the
+    PyPose-replica parity tests to compare per-iterate trajectories
+    (tests/test_pvgo.py); not on the training hot path.
+    """
+    nodes0 = jax.lax.stop_gradient(nodes0)
+    vels0 = jax.lax.stop_gradient(vels0)
+    outer, continual, cost_of = _make_outer_step(residual_fn, config)
+    init = _init_state(residual_fn, nodes0, vels0, config, cost_of)
 
-    zero = jnp.zeros((D,), dtype=vels0.dtype)
-    r0 = residual_fn(nodes0, vels0)
+    def body(state, _):
+        active = continual(state)
+        new_state = outer(state)
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, b, a), state, new_state)
+        return out, (out, active)
 
-    def body(state):
-        nodes, vels, radius, cost, plateau, step, _ = state
-        # Jacobian of the residual w.r.t. the tangent at zero.
-        J = jax.jacfwd(lambda d: res_at(nodes, vels, d))(zero)  # (R, D)
-        r = residual_fn(nodes, vels)
-        H = J.T @ J
-        g = J.T @ r
-        diag = jnp.clip(jnp.diagonal(H), config.damping_min, config.damping_max)
-        A = H + jnp.diag(diag) / radius
-        # Cholesky solve of the damped normal equations.
-        L = jnp.linalg.cholesky(A + 1e-10 * jnp.eye(D, dtype=A.dtype))
-        delta = -jax.scipy.linalg.cho_solve((L, True), g)
-
-        new_nodes, new_vels = apply_delta(nodes, vels, delta)
-        new_r = residual_fn(new_nodes, new_vels)
-        new_cost = cost_of(new_r)
-
-        accept = new_cost <= cost
-        nodes = jnp.where(accept, new_nodes, nodes)
-        vels = jnp.where(accept, new_vels, vels)
-        radius = jnp.where(accept,
-                           jnp.minimum(radius * config.radius_up,
-                                       config.radius_max),
-                           jnp.maximum(radius * config.radius_down,
-                                       config.radius_min))
-        out_cost = jnp.where(accept, new_cost, cost)
-        # Plateau: relative decrease below threshold counts toward patience.
-        rel_dec = (cost - out_cost) / jnp.maximum(cost, 1e-12)
-        plateau = jnp.where(rel_dec < config.decreasing, plateau + 1, 0)
-        return (nodes, vels, radius, out_cost, plateau, step + 1, accept)
-
-    def cond(state):
-        _, _, _, _, plateau, step, _ = state
-        return jnp.logical_and(step < config.max_steps,
-                               plateau < config.patience)
-
-    init = (nodes0, vels0,
-            jnp.asarray(config.radius, vels0.dtype),
-            cost_of(r0),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(True))
-    nodes, vels, _, cost, _, steps, _ = jax.lax.while_loop(cond, body, init)
-    return nodes, vels, cost, steps
+    final, (steps, active) = jax.lax.scan(body, init, None,
+                                          length=config.max_steps)
+    return final, steps, active
 
 
 def lm_solve_unrolled(residual_fn, nodes0, vels0,
@@ -132,25 +228,20 @@ def lm_solve_unrolled(residual_fn, nodes0, vels0,
     N = nodes0.shape[0]
     D = 9 * N
 
-    def apply_delta(nodes, vels, delta):
-        xi = delta[: 6 * N].reshape(N, 6)
-        dv = delta[6 * N:].reshape(N, 3)
-        return lie.se3_retract(nodes, xi), vels + dv
-
     damping = 1.0 / config.radius
 
     def step(carry, _):
         nodes, vels = carry
         zero = jnp.zeros((D,), vels.dtype)
         J = jax.jacfwd(
-            lambda d: residual_fn(*apply_delta(nodes, vels, d)))(zero)
+            lambda d: residual_fn(*_apply_delta(nodes, vels, d)))(zero)
         r = residual_fn(nodes, vels)
         H = J.T @ J
         diag = jnp.clip(jnp.diagonal(H), config.damping_min,
                         config.damping_max)
         A = H + jnp.diag(diag) * damping + 1e-9 * jnp.eye(D, dtype=H.dtype)
         delta = -jnp.linalg.solve(A, J.T @ r)
-        return apply_delta(nodes, vels, delta), None
+        return _apply_delta(nodes, vels, delta), None
 
     (nodes, vels), _ = jax.lax.scan(step, (nodes0, vels0), None,
                                     length=iters)

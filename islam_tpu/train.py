@@ -242,6 +242,44 @@ def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
 # Host-side trainer
 # ---------------------------------------------------------------------------
 
+class Prefetcher:
+    """One-deep keyed background prefetch with exception propagation.
+
+    ``start(k)`` computes ``fn(k)`` on a worker thread; ``take(k)`` joins and
+    returns the result — or re-raises with the worker's traceback chained, so
+    a failing loader surfaces its real error instead of dying silently and
+    crashing the consumer later with an unrelated KeyError.
+    """
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._slots = {}
+        self._threads = {}
+
+    def start(self, key):
+        import threading
+
+        def run():
+            try:
+                self._slots[key] = (True, self._fn(key))
+            except BaseException as e:  # noqa: BLE001 - re-raised in take()
+                self._slots[key] = (False, e)
+
+        t = threading.Thread(target=run, daemon=True)
+        self._threads[key] = t
+        t.start()
+
+    def pending(self, key) -> bool:
+        return key in self._threads
+
+    def take(self, key):
+        self._threads.pop(key).join()
+        ok, value = self._slots.pop(key)
+        if not ok:
+            raise RuntimeError(f"prefetch of item {key} failed") from value
+        return value
+
+
 class Trainer:
     """Owns dataset iteration, state carry, grad accumulation, snapshots."""
 
@@ -306,7 +344,9 @@ class Trainer:
             batch_frames=args.batch_size)
 
         if dn_params is not None:
-            self.imu_opt = optax.adam(3e-5)
+            # --imu-lr, default 3e-5 = the reference's hard-coded denoiser
+            # lr (train.py:142; it never reads its own flag).
+            self.imu_opt = optax.adam(getattr(args, "imu_lr", 3e-5))
             self.imu_opt_state = self.imu_opt.init(dn_params)
 
         self.rgb2imu_pose = jnp.asarray(np.asarray(dataset.rgb2imu_pose),
@@ -370,7 +410,6 @@ class Trainer:
         # workers (train.py:95-96).  Disabled on single-core hosts where the
         # thread merely contends with the main loop (measured 2x slower).
         import os as _os
-        import threading
 
         use_prefetch = (getattr(args, "worker_num", 1) >= 1
                         and (_os.cpu_count() or 1) > 1)
@@ -383,10 +422,7 @@ class Trainer:
                 current_idx, current_idx + B)
             return batch, imu_win
 
-        next_data = {}
-
-        def prefetch(bi):
-            next_data[bi] = prepare(bi)
+        prefetcher = Prefetcher(prepare) if use_prefetch else None
 
         # ---- fully-jitted chunked scan over windows (train_scan) ----
         # K sequential windows become ONE XLA program: state carry and grad
@@ -395,11 +431,17 @@ class Trainer:
         # in HBM at once).
         scan_chunk = int(getattr(args, "scan_chunk", 0) or 0)
         scanned = scan_chunk > 1 and target in ("vo", "imu")
-        per_window = 0 if scanned else n_batches
         bi = 0
-        while scanned and bi < n_batches:
+        last_snap = [0]
+        last_print = [0]
+        # Only full-K chunks go through the scan program: a tail chunk with a
+        # different static K would compile another full XLA program (~30-60 s
+        # on this setup) for every distinct tail length, while the per-window
+        # train_step the remainder falls through to compiles once and serves
+        # any tail length.
+        while scanned and bi + scan_chunk <= n_batches:
             self.timer.tic("step")
-            K = min(scan_chunk, n_batches - bi)
+            K = scan_chunk
             items = [prepare(bi + k) for k in range(K)]
             batches = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[it[0] for it in items])
@@ -431,29 +473,32 @@ class Trainer:
                     jax.tree_util.tree_map(jnp.add, grad_accum, grads))
             bi += K
             self.timer.toc("step")
+            # bi advances by K, so exact-modulo checks could miss every
+            # interval boundary; fire whenever a boundary was crossed.
             if snapshot_dir and (bi <= 10 or (
-                    snapshot_interval and bi % snapshot_interval == 0)):
+                    snapshot_interval
+                    and bi // snapshot_interval > last_snap[0])):
+                last_snap[0] = bi // max(snapshot_interval or 1, 1)
                 flush()
                 traj.save(snapshot_dir, epoch)
-            if getattr(self.args, "print_interval", 0) and (
-                    bi % self.args.print_interval == 0):
+            pint = getattr(self.args, "print_interval", 0)
+            if pint and bi // pint > last_print[0]:
+                last_print[0] = bi // pint
                 print(f"[window {bi}/{n_batches}] target={target} "
                       f"loss={float(jnp.sum(losses)):.6f} "
                       f"chunk={self.timer.last('step'):.3f}s")
 
-        prefetcher = None
-        for bi in range(per_window):
+        # Per-window loop: everything when not scanned (bi == 0), the
+        # tail remainder (n_batches % scan_chunk windows) when scanned.
+        for bi in range(bi, n_batches):
             self.timer.tic("step")
             current_idx = bi * B
-            if prefetcher is not None:
-                prefetcher.join()
-                batch, imu_win = next_data.pop(bi)
+            if prefetcher is not None and prefetcher.pending(bi):
+                batch, imu_win = prefetcher.take(bi)
             else:
                 batch, imu_win = prepare(bi)
-            if use_prefetch and bi + 1 < n_batches:
-                prefetcher = threading.Thread(target=prefetch,
-                                              args=(bi + 1,))
-                prefetcher.start()
+            if prefetcher is not None and bi + 1 < n_batches:
+                prefetcher.start(bi + 1)
 
             prev = None
             if target != "vo" and self.prev_vo_motions is not None:
@@ -562,14 +607,19 @@ class Trainer:
         step = ckpt.latest_checkpoint_step(directory, start_epoch)
         if step is None:
             return None
+        # Pick the restore template from what the checkpoint actually
+        # contains (params-only saves lack the opt-state keys) instead of
+        # falling back on ANY restore error -- a blanket except here used to
+        # mask genuine corruption as a silent opt-state drop.
         template = self._ckpt_state()
-        try:
-            state = ckpt.restore_checkpoint(directory, step, template)
-        except Exception:
-            template = {"vo_variables": self.vo_variables}
-            if self.dn_params is not None:
-                template["dn_params"] = self.dn_params
-            state = ckpt.restore_checkpoint(directory, step, template)
+        stored = ckpt.checkpoint_top_keys(directory, step)
+        if stored is not None:
+            dropped = sorted(set(template) - stored)
+            template = {k: v for k, v in template.items() if k in stored}
+            if dropped:
+                print(f"Checkpoint {directory}/{step} has no {dropped}; "
+                      "restoring without them (fresh optimizer state)")
+        state = ckpt.restore_checkpoint(directory, step, template)
         self.vo_variables = state["vo_variables"]
         if state.get("vo_opt_state") is not None:
             self.vo_opt_state = state["vo_opt_state"]

@@ -298,6 +298,24 @@ def restore_checkpoint(directory: str, step: int,
     return ckptr.restore(path)
 
 
+def checkpoint_top_keys(directory: str, step: int) -> Optional[set]:
+    """Top-level keys stored in a checkpoint, from orbax metadata (no array
+    reads).  Lets callers choose a restore template matching what is actually
+    on disk (full state vs params-only) instead of try/except-ing a full
+    restore.  Returns None if the metadata cannot be read."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, str(step)))
+    try:
+        meta = ocp.PyTreeCheckpointer().metadata(path)
+        if hasattr(meta, "tree"):  # orbax >= 0.5 metadata object
+            meta = meta.tree
+        return set(meta.keys())
+    except Exception as e:  # pragma: no cover - depends on orbax version
+        print(f"! [checkpoint_top_keys] metadata unreadable for {path}: {e}")
+        return None
+
+
 def latest_checkpoint_step(directory: str, before: int) -> Optional[int]:
     """Scan {dir}/{k} for k in before-1..1, mirroring the reference's resume
     scan (train.py:102-107)."""

@@ -128,6 +128,105 @@ class TestResume:
 
         assert latest_checkpoint_step(str(tmp_path), 5) is None
 
+    def test_resume_params_only_checkpoint(self, tmp_path, capsys):
+        """A params-only save (older format / imported weights) restores the
+        params and keeps fresh optimizer state, chosen by inspecting the
+        checkpoint contents — NOT by swallowing a restore error."""
+        import jax
+        import jax.numpy as jnp
+        from islam_tpu import testing
+        from islam_tpu.train import Trainer
+        from islam_tpu.utils import checkpoints as ckpt
+
+        ds = testing.make_dataset(num_frames=3, height=64, width=128)
+
+        class Args:
+            batch_size = 2
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        t1 = Trainer(Args(), ds)
+        t1.vo_variables = jax.tree_util.tree_map(
+            lambda x: x + 2.0 if x.dtype == jnp.float32 else x,
+            t1.vo_variables)
+        ckpt.save_checkpoint(str(tmp_path), 2,
+                             {"vo_variables": t1.vo_variables})
+
+        t2 = Trainer(Args(), ds)
+        assert t2.resume(str(tmp_path), start_epoch=4) == 2
+        a = jax.tree_util.tree_leaves(t1.vo_variables["params"])[0]
+        b = jax.tree_util.tree_leaves(t2.vo_variables["params"])[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        out = capsys.readouterr().out
+        assert "vo_opt_state" in out  # announced the missing keys
+
+    def test_resume_corrupt_checkpoint_raises(self, tmp_path):
+        """Genuine corruption surfaces instead of silently degrading to a
+        params-only restore (the old blanket-except behavior)."""
+        import os
+        from islam_tpu import testing
+        from islam_tpu.train import Trainer
+        from islam_tpu.utils import checkpoints as ckpt
+
+        ds = testing.make_dataset(num_frames=3, height=64, width=128)
+
+        class Args:
+            batch_size = 2
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        t1 = Trainer(Args(), ds)
+        t1.save_models(str(tmp_path), 3)
+        # corrupt: delete the array store but keep the tree metadata
+        for root, _, files in os.walk(tmp_path / "3"):
+            for f in files:
+                if "checkpoint" not in f and "metadata" not in f:
+                    os.unlink(os.path.join(root, f))
+        t2 = Trainer(Args(), ds)
+        with pytest.raises(Exception):
+            t2.resume(str(tmp_path), start_epoch=5)
+
+
+class TestPrefetcher:
+    def test_success_path(self):
+        from islam_tpu.train import Prefetcher
+
+        p = Prefetcher(lambda k: k * 10)
+        p.start(1)
+        assert p.pending(1)
+        assert p.take(1) == 10
+        assert not p.pending(1)
+
+    def test_failure_propagates_original_error(self):
+        """A loader raising in the worker thread re-raises at take() with
+        the real exception chained (regression: used to die silently and
+        crash later with a KeyError)."""
+        from islam_tpu.train import Prefetcher
+
+        def bad(k):
+            raise ValueError(f"decode failed on window {k}")
+
+        p = Prefetcher(bad)
+        p.start(7)
+        with pytest.raises(RuntimeError, match="item 7 failed") as ei:
+            p.take(7)
+        assert isinstance(ei.value.__cause__, ValueError)
+        assert "decode failed on window 7" in str(ei.value.__cause__)
+
 
 class TestEvaluateScript:
     def test_evaluate_result_dir(self, tmp_path):

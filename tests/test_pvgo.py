@@ -1,11 +1,16 @@
-"""PVGO back-end tests: LM convergence, gauge alignment, bi-level gradients."""
+"""PVGO back-end tests: LM convergence, gauge alignment, bi-level gradients,
+and step-for-step parity against the PyPose-replica oracle
+(islam_tpu/pvgo/pypose_replica.py)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy.spatial.transform import Rotation
 
 from islam_tpu import lie
 from islam_tpu.lie import SE3
+from islam_tpu.pvgo.lm import LMConfig, lm_solve_manifold, lm_solve_trace
+from islam_tpu.pvgo.pypose_replica import pypose_lm_replica, retract_nodes
 from islam_tpu.pvgo.run import run_pvgo
 from islam_tpu.transformation import motion2pose, pose2motion_se3
 
@@ -130,3 +135,204 @@ class TestRunPVGO:
             np.asarray(lie.se3_log(lie.se3_mul(
                 lie.se3_inv(gt_motions.data), p["vo_motions"].data))), axis=-1)
         assert err_sol.mean() < err_vo.mean()
+
+
+# ---------------------------------------------------------------------------
+# PyPose-replica parity (VERDICT round-1 item #1)
+# ---------------------------------------------------------------------------
+# A fully independent numpy/scipy implementation of the PVGO residual
+# (matrices + Rotation, no islam_tpu.lie) drives the host-side replica of
+# PyPose's LM/TrustRegion/StopOnPlateau stack; the jitted lm_solve_trace must
+# reproduce its per-iterate cost / radius / patience / node trajectory.
+
+def _np_mat(rows):
+    """SE3 rows [t(3), q(4)] -> (N,4,4) homogeneous matrices."""
+    rows = np.asarray(rows, np.float64)
+    T = np.tile(np.eye(4), (rows.shape[0], 1, 1))
+    T[:, :3, :3] = Rotation.from_quat(rows[:, 3:]).as_matrix()
+    T[:, :3, 3] = rows[:, :3]
+    return T
+
+
+def _np_se3_log(T):
+    """(N,4,4) -> (N,6) twists [tau, phi] via rotvec + analytic V^{-1}."""
+    phi = Rotation.from_matrix(T[:, :3, :3]).as_rotvec()
+    out = np.empty((T.shape[0], 6))
+    for i in range(T.shape[0]):
+        p = phi[i]
+        th = np.linalg.norm(p)
+        K = np.array([[0, -p[2], p[1]], [p[2], 0, -p[0]], [-p[1], p[0], 0.0]])
+        if th < 1e-8:
+            Vinv = np.eye(3) - 0.5 * K + (1.0 / 12.0) * (K @ K)
+        else:
+            c = 1.0 / th**2 - (1.0 + np.cos(th)) / (2.0 * th * np.sin(th))
+            Vinv = np.eye(3) - 0.5 * K + c * (K @ K)
+        out[i, :3] = Vinv @ T[i, :3, 3]
+        out[i, 3:] = p
+    return out
+
+
+def _np_residual_builder(p, weights):
+    """Numpy residual matching run_pvgo's block order/flattening."""
+    links = np.asarray(p["links"])
+    poses = _np_mat(np.asarray(p["vo_motions"].data, np.float64))
+    poses_inv = np.linalg.inv(poses)
+    drots_R = Rotation.from_quat(
+        np.asarray(p["imu_drots"], np.float64)).as_matrix()
+    dtrans = np.asarray(p["imu_dtrans"], np.float64)
+    dvels = np.asarray(p["imu_dvels"], np.float64)
+    dts = np.asarray(p["dts"], np.float64).reshape(-1, 1)
+    w0, w1, w2, w3 = [float(w) for w in weights]
+
+    def residual(nodes, vels):
+        T = _np_mat(nodes)
+        T_inv = np.linalg.inv(T)
+        pgerr = _np_se3_log(poses_inv @ T_inv[links[:, 0]] @ T[links[:, 1]])
+        adjvelerr = dvels - (vels[1:] - vels[:-1])
+        R = T[:, :3, :3]
+        rel = np.transpose(drots_R, (0, 2, 1)) @ (
+            np.transpose(R[:-1], (0, 2, 1)) @ R[1:])
+        imuroterr = Rotation.from_matrix(rel).as_rotvec()
+        trans = nodes[:, :3]
+        transvelerr = (trans[1:] - trans[:-1]) - (vels[:-1] * dts + dtrans)
+        return np.concatenate([
+            (pgerr * w0).reshape(-1), (adjvelerr * w1).reshape(-1),
+            (imuroterr * w2).reshape(-1), (transvelerr * w3).reshape(-1)])
+
+    def jacobian(nodes, vels, eps=1e-6):
+        """Central finite differences over the 9N tangent under the
+        replica's own scipy-based retraction."""
+        N = nodes.shape[0]
+        D = 9 * N
+        cols = []
+        for k in range(D):
+            d = np.zeros(D)
+            d[k] = eps
+            xi_p, dv_p = d[:6 * N].reshape(N, 6), d[6 * N:].reshape(N, 3)
+            rp = residual(retract_nodes(nodes, xi_p), vels + dv_p)
+            rm = residual(retract_nodes(nodes, -xi_p), vels - dv_p)
+            cols.append((rp - rm) / (2 * eps))
+        return np.stack(cols, axis=1)
+
+    return residual, jacobian
+
+
+def _jax_residual_builder(p, weights, dtype):
+    links = jnp.asarray(np.asarray(p["links"]))
+    poses = jnp.asarray(np.asarray(p["vo_motions"].data), dtype)
+    drots = jnp.asarray(np.asarray(p["imu_drots"]), dtype)
+    dtrans = jnp.asarray(np.asarray(p["imu_dtrans"]), dtype)
+    dvels = jnp.asarray(np.asarray(p["imu_dvels"]), dtype)
+    dts = jnp.asarray(np.asarray(p["dts"]), dtype)
+    w = [jnp.asarray(x, dtype) for x in weights]
+
+    def residual(nodes, vels):
+        from islam_tpu.pvgo import graph as G
+        pgerr, adjvelerr, imuroterr, transvelerr = G.pvgo_residuals(
+            nodes, vels, links, poses, drots, dtrans, dvels, dts)
+        return jnp.concatenate([
+            (pgerr * w[0]).reshape(-1), (adjvelerr * w[1]).reshape(-1),
+            (imuroterr * w[2]).reshape(-1), (transvelerr * w[3]).reshape(-1)])
+
+    return residual
+
+
+WEIGHTS = (1.0, 0.1, 10.0, 0.1)
+
+
+def _perturbed_init(p, rng, t_noise=0.05, v_noise=0.1):
+    init_nodes = np.asarray(p["gt_poses"].data, np.float64).copy()
+    # Renormalize in float64: the problem data is f32, and scipy's
+    # Rotation.from_quat (the replica's retraction) normalizes implicitly
+    # while the jax retraction preserves the input norm exactly.
+    init_nodes[:, 3:] /= np.linalg.norm(init_nodes[:, 3:], axis=-1,
+                                        keepdims=True)
+    init_nodes[1:, :3] += rng.normal(size=(B, 3)) * t_noise
+    init_vels = np.asarray(p["gt_vels"], np.float64).copy()
+    init_vels += rng.normal(size=init_vels.shape) * v_noise
+    return init_nodes, init_vels
+
+
+class TestPyPoseParity:
+    """lm_solve_trace vs the host-side PyPose replica, float64."""
+
+    def _run_pair(self, noise, seed):
+        rng = np.random.default_rng(seed)
+        p = make_problem(noise=noise)
+        init_nodes, init_vels = _perturbed_init(p, rng)
+
+        res_np, jac_np = _np_residual_builder(p, WEIGHTS)
+        ref = pypose_lm_replica(res_np, jac_np, init_nodes, init_vels)
+
+        with jax.enable_x64(True):
+            res_jax = _jax_residual_builder(p, WEIGHTS, jnp.float64)
+            final, steps, active = lm_solve_trace(
+                res_jax, jnp.asarray(init_nodes, jnp.float64),
+                jnp.asarray(init_vels, jnp.float64))
+            steps = jax.tree_util.tree_map(np.asarray, steps)
+            active = np.asarray(active)
+        return ref, steps, active
+
+    def test_per_iterate_trajectory(self):
+        """Per-step cost / radius / patience / nodes / vels agree."""
+        for noise, seed in [(0.0, 0), (0.02, 1), (0.05, 2)]:
+            ref, steps, active = self._run_pair(noise, seed)
+            n_active = int(active.sum())
+            assert n_active == ref.steps, (
+                f"step counts differ: jax={n_active} replica={ref.steps} "
+                f"(noise={noise})")
+            for i in range(n_active):
+                rec = ref.trace[i]
+                np.testing.assert_allclose(
+                    steps.cost[i], rec.cost, rtol=1e-5, atol=1e-12,
+                    err_msg=f"cost at step {i} (noise={noise})")
+                np.testing.assert_allclose(
+                    steps.radius[i], rec.radius, rtol=1e-9,
+                    err_msg=f"radius at step {i} (noise={noise})")
+                assert int(steps.patience[i]) == rec.patience, (
+                    f"patience at step {i} (noise={noise})")
+                np.testing.assert_allclose(
+                    steps.nodes[i][:, :3], rec.nodes[:, :3], atol=5e-6,
+                    err_msg=f"node translations at step {i} (noise={noise})")
+                qd = np.abs(np.sum(steps.nodes[i][:, 3:] * rec.nodes[:, 3:],
+                                   axis=-1))
+                np.testing.assert_allclose(
+                    qd, 1.0, atol=1e-9,
+                    err_msg=f"node rotations at step {i} (noise={noise})")
+                np.testing.assert_allclose(
+                    steps.vels[i], rec.vels, atol=5e-6,
+                    err_msg=f"velocities at step {i} (noise={noise})")
+
+    def test_converged_solution_f32(self):
+        """The production f32 path lands on the replica's solution."""
+        rng = np.random.default_rng(3)
+        p = make_problem(noise=0.02)
+        init_nodes, init_vels = _perturbed_init(p, rng)
+        res_np, jac_np = _np_residual_builder(p, WEIGHTS)
+        ref = pypose_lm_replica(res_np, jac_np, init_nodes, init_vels)
+
+        res_jax = _jax_residual_builder(p, WEIGHTS, jnp.float32)
+        nodes, vels, cost, _ = lm_solve_manifold(
+            res_jax, jnp.asarray(init_nodes, jnp.float32),
+            jnp.asarray(init_vels, jnp.float32))
+        np.testing.assert_allclose(np.asarray(nodes[:, :3]),
+                                   ref.nodes[:, :3], atol=2e-3)
+        np.testing.assert_allclose(np.asarray(vels), ref.vels, atol=2e-3)
+
+    def test_quality_threshold_insensitive(self):
+        """Converged solution is stable across the one undocumented
+        constant (TrustRegion quality threshold)."""
+        rng = np.random.default_rng(4)
+        p = make_problem(noise=0.02)
+        init_nodes, init_vels = _perturbed_init(p, rng)
+        res_jax = _jax_residual_builder(p, WEIGHTS, jnp.float32)
+        sols = []
+        for qf in (1e-4, 1e-3, 1e-2):
+            nodes, vels, _, _ = lm_solve_manifold(
+                res_jax, jnp.asarray(init_nodes, jnp.float32),
+                jnp.asarray(init_vels, jnp.float32),
+                LMConfig(quality_factor=qf))
+            sols.append((np.asarray(nodes), np.asarray(vels)))
+        for n, v in sols[1:]:
+            np.testing.assert_allclose(n[:, :3], sols[0][0][:, :3], atol=1e-4)
+            np.testing.assert_allclose(v, sols[0][1], atol=1e-4)
