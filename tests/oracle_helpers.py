@@ -16,6 +16,10 @@ islam_tpu compute code):
    matching the reference residual blocks (pvgo.py:26-64) and the
    flatten/weight order of ``run_pvgo`` — drives
    ``islam_tpu.pvgo.pypose_replica.pypose_lm_replica``.
+4. A boolean-gather numpy replica of the reference's metric-scale
+   least squares (dense_ba.py:88-176) and its cv2.Canny edge mask
+   (TartanVO.py:145-155) — oracles for the where-masked jit path in
+   islam_tpu.ops.geometry.
 """
 
 from __future__ import annotations
@@ -327,3 +331,78 @@ def np_pvgo_residual_builder(links, vo_motions, imu_drots, imu_dtrans,
         return np.stack(cols, axis=1)
 
     return residual, jacobian
+
+
+# ---------------------------------------------------------------------------
+# 4. boolean-gather scale recovery (dense_ba.py:88-176) + Canny mask
+#    (TartanVO.py:145-155)
+# ---------------------------------------------------------------------------
+
+def np_scale_from_disp_flow(disp, flow, motion7, fx, fy, cx, cy, baseline,
+                            mask=None, disp_th=1.0):
+    """Gather-form replica of the reference least squares, float64.
+
+    Follows dense_ba.py:88-176 literally: boolean gathers (dynamic shapes)
+    build the 2N x 1 system M s = w, solved as s = (M^T w) / (M^T M); the
+    rotation/translation come from scipy on the SE3 inverse (the reference
+    uses pypose T.Inv()).  Returns (s, z, mask, depth_mask) like the
+    reference and the jit path.
+    """
+    disp = np.asarray(disp, np.float64)
+    flow = np.asarray(flow, np.float64)
+    motion7 = np.asarray(motion7, np.float64)
+    height, width = flow.shape[-2:]
+
+    u, v = np.meshgrid(np.arange(width, dtype=np.float64),
+                       np.arange(height, dtype=np.float64), indexing="xy")
+    uv = np.stack([u, v])
+
+    flow_norm = np.linalg.norm(flow, axis=0)
+    warped = flow + uv
+    inside = lambda x, lim: np.logical_and(x >= 0, x <= lim)  # noqa: E731
+    flow_mask = (inside(warped[0], width) & inside(warped[1], height)
+                 & (flow_norm > 0))
+    m = flow_mask if mask is None else np.logical_and(flow_mask, mask)
+
+    disp2d = disp[0] if disp.ndim == 3 else disp
+    disp_mask = np.logical_and(inside(u - disp2d, width), disp2d >= disp_th)
+    m = np.logical_and(disp_mask, m)
+    with np.errstate(divide="ignore"):
+        z = np.where(disp_mask, fx * baseline / disp2d, 0.0)
+
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    K_inv = np.linalg.inv(K)
+    uv1 = np.stack([u, v, np.ones_like(u)], axis=-1)
+    P = z[..., None] * np.einsum("ij,hwj->hwi", K_inv, uv1)
+
+    rot = Rotation.from_quat(motion7[3:])
+    R_inv = rot.inv().as_matrix()
+    t_inv = -R_inv @ motion7[:3]
+    t_norm = t_inv / max(np.linalg.norm(t_inv), 1e-12)
+
+    a = K @ t_norm
+    b = np.einsum("ij,hwj->hwi", K, np.einsum("ij,hwj->hwi", R_inv, P))
+    f = np.moveaxis(flow + uv, 0, -1)
+
+    M1 = a[2] * f[..., 0] - a[0]
+    w1 = b[..., 0] - b[..., 2] * f[..., 0]
+    M2 = a[2] * f[..., 1] - a[1]
+    w2 = b[..., 1] - b[..., 2] * f[..., 1]
+
+    # the reference's boolean gather (dense_ba.py:159-168)
+    sel = m.reshape(-1)
+    M = np.concatenate([M1.reshape(-1)[sel], M2.reshape(-1)[sel]])
+    w = np.concatenate([w1.reshape(-1)[sel], w2.reshape(-1)[sel]])
+    s = float(M @ w) / float(M @ M)
+    return s, z, m, disp_mask
+
+
+def cv2_canny_mask(img_u8_bgr, low=50, high=100, dilate=5):
+    """The reference's host edge mask (TartanVO.py:150-154): cv2.Canny on
+    the (already downsampled) uint8 BGR frame, dilated with ones(5,5).
+    ``img_u8_bgr``: (H, W, 3) uint8. Returns bool (H, W)."""
+    import cv2
+
+    e = cv2.Canny(img_u8_bgr, low, high)
+    e = cv2.dilate(e, np.ones((dilate, dilate), np.uint8))
+    return e > 0

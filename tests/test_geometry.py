@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation as R
 
 from islam_tpu import lie
@@ -74,6 +75,179 @@ class TestScaleRecovery:
         img = jnp.asarray(RNG.uniform(0, 1, (2, 3, 32, 40)), jnp.float32)
         m = edge_mask(img)
         assert m.shape == (2, 32, 40) and m.dtype == jnp.bool_
+
+    def test_matches_gather_oracle(self):
+        """The where-masked jit least squares equals the reference's
+        boolean-gather form (dense_ba.py:159-173) on random noisy inputs,
+        including the masks bit-for-bit."""
+        from oracle_helpers import np_scale_from_disp_flow
+
+        H, W = 40, 56
+        fx, fy, cx, cy = 70.0, 75.0, W / 2, H / 2
+        baseline = 0.5
+        for seed in range(3):
+            rng = np.random.default_rng(100 + seed)
+            disp = rng.uniform(0.0, 20.0, (H, W)).astype(np.float32)
+            flow = rng.normal(0, 4.0, (2, H, W)).astype(np.float32)
+            t = rng.normal(size=3)
+            q = R.from_rotvec(rng.normal(size=3) * 0.05).as_quat()
+            motion = np.concatenate([t, q]).astype(np.float32)
+            extra = rng.random((H, W)) > 0.3
+
+            s, z, m, dm = scale_from_disp_flow(
+                jnp.asarray(disp), jnp.asarray(flow),
+                SE3(jnp.asarray(motion)), fx, fy, cx, cy, baseline,
+                mask=jnp.asarray(extra), disp_th=1.0)
+            s_o, z_o, m_o, dm_o = np_scale_from_disp_flow(
+                disp, flow, motion, fx, fy, cx, cy, baseline,
+                mask=extra, disp_th=1.0)
+
+            np.testing.assert_array_equal(np.asarray(m), m_o)
+            np.testing.assert_array_equal(np.asarray(dm), dm_o)
+            np.testing.assert_allclose(np.asarray(z)[dm_o], z_o[dm_o],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(float(s), s_o, rtol=2e-4)
+
+
+def _blocky_scene(rng, H, W, block=8):
+    """uint8 BGR frame of sharp-edged random blocks + mild sensor noise,
+    plus the known block-boundary map (the 'textured pixels')."""
+    low = rng.uniform(40, 215, (H // block, W // block, 3))
+    img = np.repeat(np.repeat(low, block, axis=0), block, axis=1)
+    img = np.clip(img + rng.normal(0, 2.0, img.shape), 0, 255)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    near_edge = ((xx % block) < 2) | ((xx % block) > block - 3) \
+        | ((yy % block) < 2) | ((yy % block) > block - 3)
+    return img.astype(np.uint8), near_edge
+
+
+class TestCannyMaskDelta:
+    """VERDICT round-1 item: quantify how much the recovered metric scale
+    moves between the reference's cv2.Canny(50,100)+dilate(5x5) mask
+    (TartanVO.py:150-154) and the on-device Sobel+dilate approximation.
+
+    Setup: exactly consistent flow/disp from a known motion over a
+    depth-varying scene, plus heteroscedastic noise — accurate matches near
+    intensity edges, ~10x noisier in flat regions (the aperture-problem
+    error model that makes edge masking worthwhile in the first place).
+    Acceptance bound (documented in docs/RESULTS.md): both masks recover the
+    true scale within 2%, and they differ from EACH OTHER by < 1%.
+    """
+
+    def test_scale_delta_canny_vs_sobel(self):
+        cv2 = pytest.importorskip("cv2")  # noqa: F841
+        from oracle_helpers import cv2_canny_mask, np_scale_from_disp_flow
+
+        H, W = 112, 160
+        fx = fy = 120.0
+        cx, cy = W / 2, H / 2
+        baseline = 0.5
+        s_true = 0.8
+
+        deltas, errs = [], []
+        for seed in range(4):
+            rng = np.random.default_rng(50 + seed)
+            img_u8, near_edge = _blocky_scene(rng, H, W)
+
+            z = 6.0 + 2.0 * np.sin(np.arange(W) / 17.0)[None, :] \
+                + rng.uniform(-0.3, 0.3, (H, W))
+            t = np.asarray([0.8, 0.15, 0.3])
+            t = t / np.linalg.norm(t) * s_true
+            rot = R.from_rotvec([0.01, -0.015, 0.008])
+            motion = np.concatenate([t, rot.as_quat()]).astype(np.float32)
+
+            u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                               np.arange(H, dtype=np.float64))
+            K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+            uv1 = np.stack([u, v, np.ones_like(u)], axis=-1)
+            P = z[..., None] * np.einsum("ij,hwj->hwi", np.linalg.inv(K), uv1)
+            Rinv = rot.inv().as_matrix()
+            P2 = np.einsum("ij,hwj->hwi", Rinv, P) + (-Rinv @ t)
+            p2 = np.einsum("ij,hwj->hwi", K, P2 / P2[..., 2:3])
+            flow = np.moveaxis(p2[..., :2] - np.stack([u, v], -1), -1, 0)
+
+            # heteroscedastic matching noise: 0.1 px near edges, 1 px flat
+            sigma = np.where(near_edge, 0.1, 1.0)
+            flow = flow + rng.normal(0, 1.0, flow.shape) * sigma[None]
+            disp = fx * baseline / z + rng.normal(0, 1.0, z.shape) \
+                * 0.1 * sigma
+
+            m_canny = cv2_canny_mask(img_u8)
+            m_sobel = np.asarray(edge_mask(
+                jnp.asarray(img_u8.transpose(2, 0, 1)[None] / 255.0,
+                            jnp.float32)))[0]
+
+            s_c, *_ = np_scale_from_disp_flow(
+                disp, flow, motion, fx, fy, cx, cy, baseline,
+                mask=m_canny, disp_th=1.0)
+            s_s, *_ = np_scale_from_disp_flow(
+                disp, flow, motion, fx, fy, cx, cy, baseline,
+                mask=m_sobel, disp_th=1.0)
+            deltas.append(abs(s_c - s_s) / s_true)
+            errs.append(max(abs(s_c - s_true), abs(s_s - s_true)) / s_true)
+
+            inter = np.logical_and(m_canny, m_sobel).sum()
+            union = np.logical_or(m_canny, m_sobel).sum()
+            assert inter / union > 0.5, "masks diverged structurally"
+
+        assert max(errs) < 0.02, f"scale error vs GT too large: {errs}"
+        assert max(deltas) < 0.01, f"Canny-vs-Sobel delta: {deltas}"
+
+    def test_masks_help_under_aperture_bias(self):
+        """Under BIASED flat-region degradation (flow/disp shrink toward 0
+        away from edges — the aperture problem, the error mode the
+        reference's edge mask exists for), both masks beat no-mask and
+        track each other within 0.1% of the true scale."""
+        cv2 = pytest.importorskip("cv2")  # noqa: F841
+        from oracle_helpers import cv2_canny_mask, np_scale_from_disp_flow
+
+        H, W = 112, 160
+        fx = fy = 120.0
+        cx, cy = W / 2, H / 2
+        baseline = 0.5
+        s_true = 0.8
+
+        rng = np.random.default_rng(50)
+        img_u8, near_edge = _blocky_scene(rng, H, W)
+        z = 6.0 + 2.0 * np.sin(np.arange(W) / 17.0)[None, :] \
+            + rng.uniform(-0.3, 0.3, (H, W))
+        t = np.asarray([0.8, 0.15, 0.3])
+        t = t / np.linalg.norm(t) * s_true
+        rot = R.from_rotvec([0.01, -0.015, 0.008])
+        motion = np.concatenate([t, rot.as_quat()]).astype(np.float32)
+
+        u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                           np.arange(H, dtype=np.float64))
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+        uv1 = np.stack([u, v, np.ones_like(u)], axis=-1)
+        P = z[..., None] * np.einsum("ij,hwj->hwi", np.linalg.inv(K), uv1)
+        Rinv = rot.inv().as_matrix()
+        P2 = np.einsum("ij,hwj->hwi", Rinv, P) + (-Rinv @ t)
+        p2 = np.einsum("ij,hwj->hwi", K, P2 / P2[..., 2:3])
+        flow = np.moveaxis(p2[..., :2] - np.stack([u, v], -1), -1, 0)
+
+        shrink = np.where(near_edge, 1.0, 0.7)
+        flow = flow * shrink[None] + rng.normal(0, 0.1, flow.shape)
+        disp = fx * baseline / z * np.where(near_edge, 1.0, 0.85) \
+            + rng.normal(0, 0.05, z.shape)
+
+        m_canny = cv2_canny_mask(img_u8)
+        m_sobel = np.asarray(edge_mask(
+            jnp.asarray(img_u8.transpose(2, 0, 1)[None] / 255.0,
+                        jnp.float32)))[0]
+
+        err = lambda s: abs(s - s_true) / s_true  # noqa: E731
+        s_c, *_ = np_scale_from_disp_flow(
+            disp, flow, motion, fx, fy, cx, cy, baseline,
+            mask=m_canny, disp_th=1.0)
+        s_s, *_ = np_scale_from_disp_flow(
+            disp, flow, motion, fx, fy, cx, cy, baseline,
+            mask=m_sobel, disp_th=1.0)
+        s_n, *_ = np_scale_from_disp_flow(
+            disp, flow, motion, fx, fy, cx, cy, baseline,
+            mask=None, disp_th=1.0)
+        assert err(s_c) < err(s_n) and err(s_s) < err(s_n)
+        assert abs(s_c - s_s) / s_true < 1e-3
 
 
 class TestTrajectoryChains:
