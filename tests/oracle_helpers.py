@@ -55,9 +55,14 @@ def t_quat_inv(q):
 
 
 def t_quat_rotate(q, v):
-    """Rotate vectors v (..., 3) by unit quaternions q (..., 4)."""
+    """Rotate vectors v (..., 3) by unit quaternions q (..., 4);
+    q and v broadcast against each other (torch.cross needs equal
+    ndims, so both sides are expanded to the common shape)."""
     qv = q[..., :3]
-    w = q[..., 3:4]
+    shape = torch.broadcast_shapes(qv.shape, v.shape)
+    qv = torch.broadcast_to(qv, shape)
+    v = torch.broadcast_to(v, shape)
+    w = torch.broadcast_to(q[..., 3:4], shape[:-1] + (1,))
     t = 2.0 * torch.cross(qv, v, dim=-1)
     return v + w * t + torch.cross(qv, t, dim=-1)
 
@@ -395,6 +400,85 @@ def np_scale_from_disp_flow(disp, flow, motion7, fx, fy, cx, cy, baseline,
     w = np.concatenate([w1.reshape(-1)[sel], w2.reshape(-1)[sel]])
     s = float(M @ w) / float(M @ M)
     return s, z, m, disp_mask
+
+
+def t_scale_from_disp_flow(disp, flow, motion7, fx, fy, cx, cy, baseline,
+                           mask=None, disp_th=1.0):
+    """Differentiable torch replica of dense_ba.py:88-176 (gather form).
+
+    ``disp`` (H, W) / ``flow`` (2, H, W) are detached network outputs at
+    pixel level; ``motion7`` is the SE3 row the scale differentiates
+    through (the reference's pose_ENU_SE3[i]).  Returns the scalar s.
+    """
+    dt = flow.dtype
+    height, width = flow.shape[-2:]
+    u_lin = torch.linspace(0, width - 1, width, dtype=dt)
+    v_lin = torch.linspace(0, height - 1, height, dtype=dt)
+    u, v = torch.meshgrid(u_lin, v_lin, indexing="xy")
+    uv = torch.stack([u, v])
+    uv1 = torch.stack([u, v, torch.ones_like(u)])
+
+    inside = lambda x, lim: torch.logical_and(x >= 0, x <= lim)  # noqa: E731
+    flow_norm = torch.linalg.norm(flow, dim=0)
+    warped = flow + uv
+    m = (inside(warped[0], width) & inside(warped[1], height)
+         & (flow_norm > 0))
+    if mask is not None:
+        m = torch.logical_and(m, mask)
+    disp_mask = torch.logical_and(inside(u - disp, width), disp >= disp_th)
+    m = torch.logical_and(disp_mask, m)
+    z = torch.where(disp_mask, fx * baseline / disp, torch.zeros_like(disp))
+
+    K = torch.tensor([fx, 0, cx, 0, fy, cy, 0, 0, 1],
+                     dtype=dt).view(3, 3)
+    K_inv = torch.linalg.inv(K)
+    P = z.unsqueeze(-1) * torch.einsum("ij,hwj->hwi", K_inv,
+                                       uv1.permute(1, 2, 0))
+
+    Tinv = t_se3_inv(motion7)
+    t_norm = torch.nn.functional.normalize(Tinv[:3], dim=0)
+    a = K @ t_norm
+    b = torch.einsum("ij,hwj->hwi", K, t_quat_rotate(Tinv[3:], P))
+    f = (flow + uv).permute(1, 2, 0)
+
+    M1 = a[2] * f[..., 0] - a[0]
+    w1 = b[..., 0] - b[..., 2] * f[..., 0]
+    M2 = a[2] * f[..., 1] - a[1]
+    w2 = b[..., 1] - b[..., 2] * f[..., 1]
+
+    sel = m.reshape(-1)
+    M = torch.cat([M1.reshape(-1)[sel], M2.reshape(-1)[sel]])
+    w = torch.cat([w1.reshape(-1)[sel], w2.reshape(-1)[sel]])
+    return (M @ w) / (M @ M)
+
+
+def t_tartanvo_motion(pose6, flow, disp, intrinsic_calib, baseline,
+                      edge=None, datatype="kitti", correct_scale=False,
+                      gt_motion=None, use_kitti_coord=True):
+    """The TartanVO.forward tail (TartanVO.py:108-196): de-normalized pose
+    -> scale recovery (stereo least squares or GT norm) -> coordinate
+    conversion.  ``pose6`` is the POSE_STD-denormalized 6-vec (carries
+    grad); ``flow``/``disp`` are the detached net outputs at NET scale
+    (pixel scaling happens here, TartanVO.py:122-126)."""
+    disp_th = {"kitti": 5.0, "tartanair": 1.0, "euroc": 1.0}[datatype]
+    if not correct_scale:
+        flow_px = flow * 5.0
+        disp_px = disp * (50.0 / 4.0)
+        pose_enu = t_tartan2kitti(pose6)
+        scales = []
+        for i in range(pose6.shape[0]):
+            fx, fy, cx, cy = [float(x) / 4.0 for x in intrinsic_calib[i]]
+            scales.append(t_scale_from_disp_flow(
+                disp_px[i, 0], flow_px[i], pose_enu[i], fx, fy, cx, cy,
+                baseline[i], mask=None if edge is None else edge[i],
+                disp_th=disp_th))
+        scale = torch.stack(scales)
+    else:
+        scale = torch.norm(gt_motion[:, :3], dim=1)
+    trans = torch.nn.functional.normalize(pose6[:, :3], dim=1) \
+        * scale.view(-1, 1)
+    pose6 = torch.cat([trans, pose6[:, 3:]], dim=1)
+    return t_tartan2kitti(pose6) if use_kitti_coord else t_cvt_se3(pose6)
 
 
 def cv2_canny_mask(img_u8_bgr, low=50, high=100, dilate=5):

@@ -1,0 +1,304 @@
+"""Full-step parity: the ONE jitted train_step vs a reference-faithful
+torch/numpy composition (VERDICT round-1 item #2 — the closest in-env proxy
+for the blocked real-data ATE runs).
+
+The oracle chain reproduces /root/reference/train.py:204-283 end to end
+with INDEPENDENT implementations at every stage:
+
+  torch VONet fwd (the reference's own modules, shared weights)
+  -> POSE_STD denorm + stereo scale recovery + tartan2kitti
+     (torch replicas of TartanVO.py:108-196, differentiable)
+  -> T_IL conjugation (train.py:214-215)
+  -> sequential numpy IMU integration loop (imu_integrator.py:69-164)
+  -> PyPose-replica LM on the numpy PVGO residuals (pvgo.py:26-64,169-180)
+  -> vo_loss on detached converged nodes + torch backward
+     (pvgo.py:67-78, train.py:279-283)
+
+and asserts that loss, motions, IMU states, PVGO solution and the
+POSE-HEAD PARAMETER GRADIENTS of the jitted train_step match.
+
+Input sizes: the reference VOFlowNet config-1 FC head requires the final
+feature map to be exactly 2x3 (VOFlowNet.py:219-224 comments), and
+StereoNet7's SPP pools need >=256 px frames, so the smallest legal frame
+is 320x576 (1/4-res flow 80x144).  The jax train_step compile at that
+shape takes ~10 min on this one-core host — this suite is excluded from
+the fast sweep like tests/test_models.py (see CLAUDE.md).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(REF)
+if HAS_REF and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+for _name in ("cupy", "pypose"):
+    if _name not in sys.modules:
+        stub = types.ModuleType(_name)
+        if _name == "cupy":
+            stub.memoize = lambda **kw: (lambda f: f)
+        else:
+            stub.module = types.SimpleNamespace(IMUPreintegrator=object)
+        sys.modules[_name] = stub
+
+try:
+    import torch
+    HAS_TORCH = True
+except ImportError:  # pragma: no cover
+    HAS_TORCH = False
+
+needs_oracle = pytest.mark.skipif(not (HAS_REF and HAS_TORCH),
+                                  reason="reference oracle unavailable")
+
+H, W, B = 320, 576, 2
+LOSS_W = (1.0, 0.1, 10.0, 0.1)
+ROT_W, TRANS_W = 1.0, 0.1
+
+
+def _torch_correlation(tenFirst=None, tenSecond=None, md=4):
+    f1, f2 = tenFirst, tenSecond
+    _, _, hh, ww = f1.shape
+    f2p = torch.nn.functional.pad(f2, (md, md, md, md))
+    outs = []
+    for dy in range(2 * md + 1):
+        for dx in range(2 * md + 1):
+            outs.append((f1 * f2p[:, :, dy:dy + hh, dx:dx + ww]).mean(dim=1))
+    return torch.stack(outs, dim=1)
+
+
+def _cpu_warp(self, x, flo):
+    bb, _, hh, ww = x.size()
+    xx = torch.arange(ww).view(1, -1).repeat(hh, 1)
+    yy = torch.arange(hh).view(-1, 1).repeat(1, ww)
+    grid = torch.cat([xx.view(1, 1, hh, ww).repeat(bb, 1, 1, 1),
+                      yy.view(1, 1, hh, ww).repeat(bb, 1, 1, 1)], 1).float()
+    vgrid = grid + flo
+    vgrid[:, 0] = 2.0 * vgrid[:, 0] / max(ww - 1, 1) - 1.0
+    vgrid[:, 1] = 2.0 * vgrid[:, 1] / max(hh - 1, 1) - 1.0
+    vgrid = vgrid.permute(0, 2, 3, 1)
+    out = torch.nn.functional.grid_sample(x, vgrid, align_corners=True)
+    mask = torch.nn.functional.grid_sample(
+        torch.ones_like(x), vgrid, align_corners=True)
+    return out * (mask >= 0.9999).float()
+
+
+def _np_align(nodes, vels, target):
+    """run_pvgo's align_to (pvgo.py:114-119) in numpy."""
+    from scipy.spatial.transform import Rotation
+
+    src = nodes[0]
+    corr_R = Rotation.from_quat(target[3:]) * Rotation.from_quat(
+        src[3:]).inv()
+    corr_t = target[:3] - corr_R.apply(src[:3])
+    out = np.empty_like(nodes)
+    out[:, :3] = corr_R.apply(nodes[:, :3]) + corr_t
+    out[:, 3:] = (corr_R * Rotation.from_quat(nodes[:, 3:])).as_quat()
+    return out, corr_R.apply(vels)
+
+
+@pytest.fixture(scope="module")
+def fullstep():
+    """Run both chains once; tests assert on the pieces."""
+    from scipy.spatial.transform import Rotation
+
+    from islam_tpu.data.dataset import collate
+    from islam_tpu.models import tartanvo as tvo
+    from islam_tpu.models.layers import resize_bilinear
+    from islam_tpu.ops.geometry import edge_mask
+    from islam_tpu.pvgo.pypose_replica import pypose_lm_replica
+    from islam_tpu.testing import (make_dataset, make_imu_module,
+                                   make_step_inputs)
+    from islam_tpu.train import train_step
+    from islam_tpu.utils.checkpoints import import_torch_weights
+    from oracle_helpers import (imu_integrate_loop, np_pvgo_residual_builder,
+                                t_se3_inv, t_se3_mul, t_tartanvo_motion,
+                                t_vo_loss)
+
+    import Network.PWC.PWCNet as torch_pwc
+    torch_pwc.FunctionCorrelation = _torch_correlation
+    from Network.VONet import VONet as TorchVONet
+
+    torch.manual_seed(0)
+    tmodel = TorchVONet(fix_parts=("flow", "stereo"))
+    tmodel.flowNet.warp = types.MethodType(_cpu_warp, tmodel.flowNet)
+    # Untrained StereoNet disparities sit at ~+-0.25 (+-3 px), below the
+    # KITTI disp>=5px validity threshold -> an empty scale-recovery system
+    # (0/0 in the reference's gather form, dense_ba.py:159-173).  Bias the
+    # disp head to a realistic ~12.5 px disparity; parity must hold for
+    # ANY weights, so picking non-degenerate test weights is fair.
+    with torch.no_grad():
+        tmodel.stereoNet.conv_c13.bias += 1.0
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    ds = make_dataset(num_frames=5, height=H, width=W, seed=3)
+    imu_mod = make_imu_module(ds, batch_frames=B)
+    batch, imu_win, init_state = make_step_inputs(ds, imu_mod, 0, B)
+
+    variables = tvo.init_params(jax.random.PRNGKey(0), H, W)
+    variables = import_torch_weights(variables, sd)
+
+    T_IL_np = np.concatenate(
+        [[0.1, -0.05, 0.2],
+         Rotation.from_rotvec([0, 0, 0.1]).as_quat()]).astype(np.float32)
+
+    # ---- jitted step ----
+    loss_j, grads_j, aux_j = train_step(
+        variables, None, batch, imu_win, init_state, jnp.asarray(T_IL_np),
+        imu_mod.gravity, imu_mod.accel_bias, imu_mod.gyro_bias,
+        jnp.asarray(False),
+        target="vo", datatype="kitti", correct_scale=False,
+        use_kitti_coord=True, denoise_accel=True, denoise_gyro=False,
+        loss_weight=LOSS_W, rot_w=ROT_W, trans_w=TRANS_W)
+
+    # ---- the edge mask is shared (its generation parity is covered by
+    # TestCannyMaskDelta; here the contract is the compute chain) ----
+    img_small = resize_bilinear(batch["img0"], (H // 4, W // 4),
+                                align_corners=False)
+    edge_np = np.asarray(edge_mask(jnp.moveaxis(img_small, -1, 1)))
+
+    # ---- torch oracle chain ----
+    sample = collate([ds[i] for i in range(0, B)])
+
+    def t_nchw(x):
+        return torch.tensor(np.ascontiguousarray(
+            np.asarray(x).transpose(0, 3, 1, 2)), dtype=torch.float32)
+
+    tmodel.train()
+    flow, disp, pose = tmodel(
+        t_nchw(sample["img0"]), t_nchw(sample["img1"]),
+        t_nchw(sample["img0_norm"]), t_nchw(sample["img0_r_norm"]),
+        t_nchw(sample["intrinsic"]))
+    pose = pose * torch.tensor([0.13, 0.13, 0.13, 0.013, 0.013, 0.013])
+
+    baseline = np.linalg.norm(np.asarray(sample["extrinsic"])[:, :3], axis=1)
+    motions_t = t_tartanvo_motion(
+        pose, flow.detach(), disp.detach(),
+        np.asarray(sample["intrinsic_calib"]),
+        torch.tensor(baseline, dtype=torch.float32),
+        edge=torch.tensor(edge_np), datatype="kitti", correct_scale=False)
+    T_IL_t = torch.tensor(T_IL_np)
+    motions_t = t_se3_mul(T_IL_t, t_se3_mul(motions_t, t_se3_inv(T_IL_t)))
+
+    # ---- IMU + PVGO oracles ----
+    pos_w, rot_w, vel_w = imu_integrate_loop(
+        ds.accels, ds.gyros, ds.imu_dts, ds.rgb2imu_sync, 0, B,
+        ds.imu_init, ds.gravity)
+    dpos, drot, dvel = imu_integrate_loop(
+        ds.accels, ds.gyros, ds.imu_dts, ds.rgb2imu_sync, 0, B,
+        ds.imu_init, ds.gravity, motion_mode=True)
+    imu_poses_o = np.concatenate([pos_w, rot_w], axis=1)
+
+    links = np.asarray(sample["link"])
+    dts = np.asarray(sample["dt"], np.float64).reshape(-1)
+    residual, jacobian = np_pvgo_residual_builder(
+        links, motions_t.detach().numpy().astype(np.float64),
+        drot, dpos, dvel, dts, LOSS_W)
+    res = pypose_lm_replica(residual, jacobian, imu_poses_o, vel_w,
+                            radius=1e4)
+    nodes_al, vels_al = _np_align(res.nodes, res.vels, imu_poses_o[0])
+
+    # ---- upper loss + torch backward ----
+    trans_l, rot_l = t_vo_loss(nodes_al, links, motions_t)
+    loss_t = ROT_W * rot_l.sum() + TRANS_W * trans_l.sum()
+    loss_t.backward()
+
+    gsd = {f"flowPoseNet.{k}": p.grad.numpy()
+           for k, p in tmodel.flowPoseNet.named_parameters()
+           if p.grad is not None}
+    zero_tpl = jax.tree_util.tree_map(
+        lambda x: np.zeros_like(np.asarray(x)), variables)
+    g_t = import_torch_weights(zero_tpl, gsd)["params"]["flowPoseNet"]
+
+    return dict(
+        loss_j=float(loss_j), loss_t=float(loss_t.detach()),
+        grads_j=grads_j, grads_t=g_t, aux_j=aux_j,
+        motions_t=motions_t.detach().numpy(),
+        imu_poses_o=imu_poses_o, imu_vels_o=vel_w,
+        pgo_nodes_o=nodes_al, pgo_vels_o=vels_al)
+
+
+@needs_oracle
+class TestFullStepParity:
+    def test_motions(self, fullstep):
+        """Front end: net fwd + denorm + scale recovery + conjugations.
+
+        Rotation is tight (straight denorm of the pose head).  Translation
+        = normalize(t) * s where s is the stereo least-squares scale; with
+        untrained nets the flow is noise, so s (~0.017 here) is
+        ill-conditioned and cross-framework f32 conv deltas move it a few
+        1e-3 absolute.  The scale formula itself is pinned to 1e-6 rel on
+        IDENTICAL inputs by the gather-form oracle in test_geometry; here
+        the bound covers the end-to-end composition."""
+        mo_j = np.asarray(fullstep["aux_j"]["motions"])
+        mo_t = fullstep["motions_t"]
+        q_sign = np.sign(np.sum(mo_j[:, 3:] * mo_t[:, 3:], axis=1))[:, None]
+        mo_t = np.concatenate([mo_t[:, :3], mo_t[:, 3:] * q_sign], axis=1)
+        np.testing.assert_allclose(mo_j[:, 3:], mo_t[:, 3:], atol=2e-4)
+        np.testing.assert_allclose(mo_j[:, :3], mo_t[:, :3], atol=5e-3)
+
+    def test_imu_states(self, fullstep):
+        aux = fullstep["aux_j"]
+        np.testing.assert_allclose(np.asarray(aux["imu_poses"]),
+                                   fullstep["imu_poses_o"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(aux["imu_vels"]),
+                                   fullstep["imu_vels_o"], atol=1e-4)
+
+    def test_pvgo_solution(self, fullstep):
+        """The two backends solve PVGO on their OWN front-end motions, so
+        the front-end translation delta (test_motions) propagates into the
+        solution; step-for-step LM parity on identical inputs is pinned by
+        test_pvgo.  Bounds here cover the composed pipeline."""
+        aux = fullstep["aux_j"]
+        pg_j = np.asarray(aux["pgo_poses"])
+        pg_o = fullstep["pgo_nodes_o"]
+        q_sign = np.sign(np.sum(pg_j[:, 3:] * pg_o[:, 3:], axis=1))[:, None]
+        pg_o = np.concatenate([pg_o[:, :3], pg_o[:, 3:] * q_sign], axis=1)
+        np.testing.assert_allclose(pg_j, pg_o, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(aux["pgo_vels"]),
+                                   fullstep["pgo_vels_o"], atol=5e-2)
+
+    def test_loss(self, fullstep):
+        assert fullstep["loss_t"] != 0.0
+        rel = abs(fullstep["loss_j"] - fullstep["loss_t"]) / abs(
+            fullstep["loss_t"])
+        assert rel < 5e-3, (fullstep["loss_j"], fullstep["loss_t"])
+
+    def test_pose_head_gradients(self, fullstep):
+        """The imperative learning signal itself: d loss / d pose-head
+        params, torch autograd through the reference nets vs jax grad
+        through the jitted step (torch grads translated into the flax
+        layout by the same importer that translates the weights)."""
+        flat_j = jax.tree_util.tree_flatten_with_path(
+            fullstep["grads_j"])[0]
+        flat_t = jax.tree_util.tree_flatten_with_path(
+            fullstep["grads_t"])[0]
+        assert len(flat_j) == len(flat_t)
+        tot_j2 = tot_t2 = tot_dot = 0.0
+        for (pj, gj), (pt, gt) in zip(flat_j, flat_t):
+            assert jax.tree_util.keystr(pj) == jax.tree_util.keystr(pt)
+            gj = np.asarray(gj, np.float64)
+            gt = np.asarray(gt, np.float64)
+            nj, nt = np.linalg.norm(gj), np.linalg.norm(gt)
+            tot_j2 += nj ** 2
+            tot_t2 += nt ** 2
+            tot_dot += float((gj * gt).sum())
+            # Leaves with |g| ~1e-8 (the trans-head tail in this tiny-scale
+            # regime) are dominated by cross-framework f32 noise; for those
+            # direction (cosine) is the meaningful contract.
+            if nt > 1e-6:
+                rel = np.linalg.norm(gj - gt) / nt
+                assert rel < 0.05, (jax.tree_util.keystr(pj), rel)
+            elif nt > 1e-12 and nj > 1e-12:
+                cos_leaf = float((gj * gt).sum()) / (nj * nt)
+                assert cos_leaf > 0.999, (jax.tree_util.keystr(pj), cos_leaf)
+        cos = tot_dot / max((tot_j2 ** 0.5) * (tot_t2 ** 0.5), 1e-30)
+        assert cos > 0.999, cos
+        assert tot_t2 > 0.0
