@@ -37,6 +37,75 @@ def Conv2d(features, kernel_size=3, stride=1, padding=0, dilation=1,
         name=name)
 
 
+def _split_conv_sum(parts, kernel, conv_one):
+    """conv(concat(parts, axis=-1)) == sum_i conv(part_i, kernel_slice_i).
+
+    The input-channel axis of an HWIO ``kernel`` is sliced to each part's
+    width, so a DenseNet-style concat chain never materializes the growing
+    concat buffer (the 13 ms/step concat family in docs/RESULTS.md).
+    """
+    off = 0
+    y = None
+    for p in parts:
+        c = p.shape[-1]
+        kp = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
+        t = conv_one(p, kp)
+        y = t if y is None else y + t
+        off += c
+    return y
+
+
+class PartsConv(nn.Module):
+    """nn.Conv-compatible 2-D conv that also accepts a TUPLE of
+    channel-parts, evaluating conv(concat(parts)) as a sum of sliced-kernel
+    convs with no concat materialized.  Parameter names and shapes are
+    identical to Conv2d's nn.Conv (``kernel`` (kh, kw, in, out) + ``bias``),
+    so torch checkpoint import is unaffected."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    stride: tuple = (1, 1)
+    padding: tuple = (1, 1)
+    dilation: tuple = (1, 1)
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        parts = x if isinstance(x, (list, tuple)) else (x,)
+        in_ch = sum(p.shape[-1] for p in parts)
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.kaiming_normal(),
+                            (kh, kw, in_ch, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        dt = self.dtype or parts[0].dtype
+        kernel = kernel.astype(dt)
+        p0, p1 = self.padding
+
+        def conv_one(p, kp):
+            return jax.lax.conv_general_dilated(
+                p.astype(dt), kp, window_strides=self.stride,
+                padding=((p0, p0), (p1, p1)), rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        y = _split_conv_sum(parts, kernel, conv_one)
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
+def Conv2dP(features, kernel_size=3, stride=1, padding=0, dilation=1,
+            use_bias=True, dtype=None, name=None):
+    """Conv2d twin built on PartsConv (tuple-input capable)."""
+    t = lambda v: v if isinstance(v, tuple) else (v, v)  # noqa: E731
+    return PartsConv(features=features, kernel_size=t(kernel_size),
+                     stride=t(stride), padding=t(padding),
+                     dilation=t(dilation), use_bias=use_bias, dtype=dtype,
+                     name=name)
+
+
 class ConvT2d(nn.Module):
     """torch.nn.ConvTranspose2d equivalent (NHWC).
 
@@ -44,6 +113,7 @@ class ConvT2d(nn.Module):
         y = conv(dilate(x, s), flip(W), padding = k - 1 - p)
     Param ``kernel`` is stored pre-flipped in (H, W, I, O) so the forward is
     a single conv_general_dilated; the torch importer flips when converting.
+    Accepts a tuple of channel-parts like PartsConv.
     """
     features: int
     kernel_size: int = 4
@@ -54,24 +124,29 @@ class ConvT2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        parts = x if isinstance(x, (list, tuple)) else (x,)
         k, s, p = self.kernel_size, self.stride, self.padding
-        in_ch = x.shape[-1]
+        in_ch = sum(q.shape[-1] for q in parts)
         kernel = self.param(
             "kernel", nn.initializers.kaiming_normal(),
             (k, k, in_ch, self.features), jnp.float32)
         pad = k - 1 - p
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype or x.dtype),
-            kernel.astype(self.dtype or x.dtype),
-            window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        dt = self.dtype or parts[0].dtype
+
+        def conv_one(q, kp):
+            return jax.lax.conv_general_dilated(
+                q.astype(dt), kp.astype(dt),
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = _split_conv_sum(parts, kernel, conv_one)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(dt)
         return y
 
 

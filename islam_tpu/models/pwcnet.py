@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from islam_tpu.models.layers import Conv2d, ConvT2d, leaky_relu
+from islam_tpu.models.layers import Conv2d, Conv2dP, ConvT2d, leaky_relu
 from islam_tpu.ops.correlation import correlation
 from islam_tpu.ops.warp import flow_warp
 
@@ -29,8 +29,8 @@ class ConvLeaky(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = Conv2d(self.features, self.kernel_size, self.stride,
-                   self.padding, self.dilation, name="conv")(x)
+        x = Conv2dP(self.features, self.kernel_size, self.stride,
+                    self.padding, self.dilation, name="conv")(x)
         return leaky_relu(x, 0.1)
 
 
@@ -60,6 +60,11 @@ class PWCDCNet(nn.Module):
     md: int = 4
     flow_norm: float = 20.0
     uncertainty: bool = False  # main path uses False (Network/VONet.py:10)
+    # concat-free decoder: DenseNet concat chains evaluated as sliced-kernel
+    # conv sums (identical math/params, no concat buffers materialized).
+    # Perf experiment, docs/RESULTS.md "non-conv glue"; unsupported with
+    # uncertainty heads (they reshape on channel counts).
+    concat_free: bool = False
 
     def setup(self):
         # Siamese pyramid (PWCNet.py:78-95)
@@ -99,11 +104,11 @@ class PWCDCNet(nn.Module):
         self.dec3 = dec("conv3")
         self.dec2 = dec("conv2")
 
-        self.predict_flow6 = Conv2d(2, 3, 1, 1, name="predict_flow6")
-        self.predict_flow5 = Conv2d(2, 3, 1, 1, name="predict_flow5")
-        self.predict_flow4 = Conv2d(2, 3, 1, 1, name="predict_flow4")
-        self.predict_flow3 = Conv2d(2, 3, 1, 1, name="predict_flow3")
-        self.predict_flow2 = Conv2d(2, 3, 1, 1, name="predict_flow2")
+        self.predict_flow6 = Conv2dP(2, 3, 1, 1, name="predict_flow6")
+        self.predict_flow5 = Conv2dP(2, 3, 1, 1, name="predict_flow5")
+        self.predict_flow4 = Conv2dP(2, 3, 1, 1, name="predict_flow4")
+        self.predict_flow3 = Conv2dP(2, 3, 1, 1, name="predict_flow3")
+        self.predict_flow2 = Conv2dP(2, 3, 1, 1, name="predict_flow2")
         if self.uncertainty:
             self.unc6 = PredictUncertainty(name="unc6")
             self.unc5 = PredictUncertainty(name="unc5")
@@ -131,7 +136,18 @@ class PWCDCNet(nn.Module):
         self.dc_conv7 = Conv2d(2, 3, 1, 1, name="dc_conv7")
 
     def _multi_scale_conv(self, blocks, x):
-        """DenseNet-style concat chain (PWCNet.py:208-214)."""
+        """DenseNet-style concat chain (PWCNet.py:208-214).
+
+        With ``concat_free`` the chain keeps the parts as a tuple and each
+        block consumes them through sliced-kernel conv sums -- numerically
+        conv(concat(parts)) with no concat buffer ever written."""
+        if self.concat_free and not self.uncertainty:
+            parts = list(x) if isinstance(x, tuple) else [x]
+            for blk in blocks:
+                parts.insert(0, blk(tuple(parts)))
+            return tuple(parts)
+        if isinstance(x, tuple):
+            x = jnp.concatenate(x, axis=-1)
         for blk in blocks:
             x = jnp.concatenate([blk(x), x], axis=-1)
         return x
@@ -145,6 +161,8 @@ class PWCDCNet(nn.Module):
         up_feat = upfeat(feat_high)
         warp_feat = _warp_nhwc(feat_low2, up_flow * scale)
         corr = leaky_relu(_corr_nhwc(feat_low1, warp_feat, self.md), 0.1)
+        if self.concat_free and not self.uncertainty:
+            return (corr, feat_low1, up_flow, up_feat), flow_high, flow_unc
         x = jnp.concatenate([corr, feat_low1, up_flow, up_feat], axis=-1)
         if flow_unc is not None:
             from islam_tpu.models.layers import resize_bilinear

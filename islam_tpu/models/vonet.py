@@ -23,9 +23,10 @@ from islam_tpu.models.voflownet import VOFlowRes
 
 class VONet(nn.Module):
     train_bn: bool = True
+    concat_free: bool = False  # PWC decoder without concat buffers
 
     def setup(self):
-        self.flowNet = PWCDCNet()
+        self.flowNet = PWCDCNet(concat_free=self.concat_free)
         self.stereoNet = StereoNet7(train_bn=self.train_bn)
         self.flowPoseNet = VOFlowRes(intrinsic=True, down_scale=True,
                                      config=1, stereo=0)

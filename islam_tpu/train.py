@@ -45,13 +45,15 @@ from islam_tpu.utils import checkpoints as ckpt
     jax.jit,
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
-                     "rot_w", "trans_w", "bf16", "use_reproj"))
+                     "rot_w", "trans_w", "bf16", "use_reproj",
+                     "concat_free"))
 def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
-               prev_motions=None, bf16=False, use_reproj=False):
+               prev_motions=None, bf16=False, use_reproj=False,
+               concat_free=False):
     """One imperative step over a window of B frame-pairs.
 
     batch: dict of device arrays (img0, img1, img0_norm, img0_r_norm,
@@ -91,7 +93,8 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                 frames=batch.get("frames"),
                 datatype=datatype, correct_scale=correct_scale,
                 use_kitti_coord=use_kitti_coord, is_train=True,
-                has_given_scale=False, has_precalc_flow=False, bf16=bf16)
+                has_given_scale=False, has_precalc_flow=False, bf16=bf16,
+                concat_free=concat_free)
             motions = res["motion"]
             # camera -> IMU frame conjugation (train.py:214-215)
             T_IL = rgb2imu_pose
@@ -195,13 +198,15 @@ def _merge_pose_params(variables, pose_params):
     jax.jit,
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
-                     "rot_w", "trans_w", "bf16", "use_reproj"))
+                     "rot_w", "trans_w", "bf16", "use_reproj",
+                     "concat_free"))
 def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
-               prev_motions=None, bf16=False, use_reproj=False):
+               prev_motions=None, bf16=False, use_reproj=False,
+               concat_free=False):
     """Fully-jitted chunk of K sequential windows (docs/TODO.md item 4).
 
     ``batches``/``imu_wins``/``prev_motions`` carry a leading (K, ...) window
@@ -226,7 +231,7 @@ def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
             use_kitti_coord=use_kitti_coord, denoise_accel=denoise_accel,
             denoise_gyro=denoise_gyro, loss_weight=loss_weight,
             rot_w=rot_w, trans_w=trans_w, prev_motions=prev, bf16=bf16,
-            use_reproj=use_reproj)
+            use_reproj=use_reproj, concat_free=concat_free)
         gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
         out_aux = {k: aux[k] for k in ("motions", "imu_poses", "imu_vels",
                                        "pgo_poses", "pgo_vels", "ok")}

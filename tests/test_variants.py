@@ -36,6 +36,33 @@ class TestPWCUncertainty:
         for u in uncs:
             assert u is not None and np.isfinite(np.asarray(u)).all()
 
+    def test_concat_free_decoder_matches_default(self):
+        """The concat-free decoder (sliced-kernel conv sums, no concat
+        buffers) is numerically the default decoder with the SAME params:
+        conv(cat(parts)) == sum_i conv_i(part_i) up to f32 sum order."""
+        from islam_tpu.models.pwcnet import PWCDCNet
+
+        x = jnp.asarray(RNG.normal(size=(2, 64, 128, 6)) * 0.3, jnp.float32)
+        base = PWCDCNet()
+        variables = base.init(jax.random.PRNGKey(1), x)
+        flows, _ = base.apply(variables, x)
+        flows_cf, _ = PWCDCNet(concat_free=True).apply(variables, x)
+        for f, fc in zip(flows, flows_cf):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(fc),
+                                       atol=2e-5)
+
+        # gradients agree too (the decoder sits on the train path)
+        def loss(v, model):
+            fl, _ = model.apply(v, x)
+            return sum(jnp.sum(f ** 2) for f in fl)
+
+        g1 = jax.grad(loss)(variables, base)
+        g2 = jax.grad(loss)(variables, PWCDCNet(concat_free=True))
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
     def test_flow_loss_helpers(self):
         from islam_tpu.models.pwcnet import calc_flow_loss
 
