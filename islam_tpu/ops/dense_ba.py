@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from islam_tpu.lie import SE3
-from islam_tpu.ops.geometry import intrinsics_matrix, pixel2point, reprojerr
+from islam_tpu.ops.geometry import (intrinsics_matrix, pixel2point,
+                                    point2pixel, reprojerr)
 
 
 def _proj_with_mask(x):
@@ -92,6 +93,55 @@ class SparseReprojectionLoss:
         T = self.rgb2imu_pose.Inv() @ motion @ self.rgb2imu_pose
         Tb = SE3(T.data[:, None, :])
         return reprojerr(self.point3d, self.target, self.K, Tb.Inv())
+
+    def debug(self, motion: SE3, img0, img1, width: int, height: int,
+              scale: int = 4, out_dir: str = "temp"):
+        """Keypoint-overlay diagnostic (dense_ba.py:308-344): draws the
+        tracked points on img0/img1, blue lines for the model reprojection
+        and green lines for the flow target, and writes
+        ``{out_dir}/{i}_reproj.png`` per batch element.  Host-side cv2;
+        ``img0``/``img1`` are (B, H, W, 3) float [0, 1] NHWC."""
+        import os
+
+        import cv2
+
+        os.makedirs(out_dir, exist_ok=True)
+        img0 = (np.asarray(img0) * 255).astype(np.uint8)
+        img1 = (np.asarray(img1) * 255).astype(np.uint8)
+
+        T = self.rgb2imu_pose.Inv() @ motion @ self.rgb2imu_pose
+        Tb = SE3(T.data[:, None, :])
+        pts0 = np.asarray(point2pixel(self.point3d, self.K))
+        pts1 = np.asarray(point2pixel(self.point3d, self.K, Tb.Inv()))
+        inside = ((pts1[..., 0] >= 0) & (pts1[..., 0] < width)
+                  & (pts1[..., 1] >= 0) & (pts1[..., 1] < height))
+        pts1 = np.where(inside[..., None], pts1, 0.0)
+
+        target = np.asarray(self.target).copy()
+        error = np.asarray(reprojerr(self.point3d, self.target, self.K,
+                                     Tb.Inv()))
+
+        for i, (il, ir, pl, pr, tar, err) in enumerate(
+                zip(img0, img1, pts0, pts1, target, error)):
+            il = cv2.resize(il, (width * scale, height * scale))
+            ir = cv2.resize(ir, (width * scale, height * scale))
+            for p in pl:
+                cv2.circle(il, np.round(p * scale).astype(int), 2,
+                           (0, 0, 255))
+            for p in pr:
+                cv2.circle(ir, np.round(p * scale).astype(int), 2,
+                           (0, 0, 255))
+            ilr = cv2.hconcat([il, ir])
+            for st, end, t, e in zip(pl, pr, tar, err):
+                end = end.copy()
+                t = t.copy()
+                end[0] += width
+                t[0] += width
+                cv2.line(ilr, np.round(st * scale).astype(int),
+                         np.round(end * scale).astype(int), (255, 0, 0))
+                cv2.line(ilr, np.round(t * scale).astype(int),
+                         np.round(end * scale).astype(int), (0, 255, 0))
+            cv2.imwrite(os.path.join(out_dir, f"{i}_reproj.png"), ilr)
 
 
 def detect_keypoints(image_np: np.ndarray, width: int, height: int,

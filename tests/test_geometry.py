@@ -331,6 +331,27 @@ class TestDenseBA:
         loss = loss_fn(motion)
         assert float(loss[0]) < 1e-2
 
+    def test_sparse_reproj_debug_overlay(self, tmp_path):
+        """The dense_ba.py:308-344 diagnostic: writes one overlay PNG per
+        batch element with keypoints + reprojection/target lines."""
+        cv2 = pytest.importorskip("cv2")  # noqa: F841
+        from islam_tpu.ops.dense_ba import SparseReprojectionLoss
+
+        H, W = 24, 32
+        z = 5.0 * np.ones((1, H, W), np.float32)
+        pts = np.stack([RNG.uniform(2, W - 3, 8),
+                        RNG.uniform(2, H - 3, 8)], axis=-1)
+        pts = np.floor(pts).astype(np.float32)[None]
+        flow = np.zeros((1, 2, H, W), np.float32)
+        loss_fn = SparseReprojectionLoss(
+            pts, z, flow, 40.0, 40.0, W / 2, H / 2,
+            np.asarray([0, 0, 0, 0, 0, 0, 1], np.float32))
+        motion = SE3(jnp.asarray([0.1, 0, 0, 0, 0, 0, 1])[None])
+        img = RNG.uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+        loss_fn.debug(motion, img, img, W, H, scale=2,
+                      out_dir=str(tmp_path))
+        assert (tmp_path / "0_reproj.png").exists()
+
     def test_sparse_reproj_zero_at_gt(self):
         from islam_tpu.ops.dense_ba import SparseReprojectionLoss
 
