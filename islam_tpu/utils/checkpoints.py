@@ -308,8 +308,12 @@ def checkpoint_top_keys(directory: str, step: int) -> Optional[set]:
     path = os.path.abspath(os.path.join(directory, str(step)))
     try:
         meta = ocp.PyTreeCheckpointer().metadata(path)
-        if hasattr(meta, "tree"):  # orbax >= 0.5 metadata object
-            meta = meta.tree
+        # Unwrap the version-dependent metadata nesting: orbax >= 0.11
+        # returns StepMetadata(.item_metadata -> TreeMetadata(.tree -> dict));
+        # older versions return the tree (or an object with .tree) directly.
+        for attr in ("item_metadata", "tree"):
+            if hasattr(meta, attr):
+                meta = getattr(meta, attr)
         return set(meta.keys())
     except Exception as e:  # pragma: no cover - depends on orbax version
         print(f"! [checkpoint_top_keys] metadata unreadable for {path}: {e}")
