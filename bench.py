@@ -41,6 +41,19 @@ def main():
     quick = "--quick" in sys.argv
     bf16 = "--bf16" in sys.argv or "--f32" not in sys.argv
     concat_free = "--concat-free" in sys.argv
+    if "--recount-flops" in sys.argv:
+        # Re-derive MODEL_TFLOPS_FALLBACK from the analytic tool and fail
+        # LOUDLY on drift, so the constant cannot silently go stale when the
+        # model or bench shapes change (tests/test_misc.py pins the same
+        # contract in the fast sweep).
+        from tools.flops_analysis import train_step_flops
+        got = train_step_flops(H, W, B)["model_tflops_per_step"]
+        if abs(got - MODEL_TFLOPS_FALLBACK) > 1e-3:
+            raise SystemExit(
+                f"MODEL_TFLOPS_FALLBACK={MODEL_TFLOPS_FALLBACK} is stale: "
+                f"tools/flops_analysis.py now measures {got} TFLOPs/step at "
+                f"{H}x{W} bs={B}. Update bench.py:MODEL_TFLOPS_FALLBACK.")
+        print(f"flops constant ok: {got} TFLOPs/step", file=sys.stderr)
     # Headline mode: fused-chunk scan (the Trainer's --scan-chunk path,
     # measured ~3% faster than per-window pipelining).  Fallback chain keeps
     # the driver supplied with an honest JSON line: scan -> per-window ->

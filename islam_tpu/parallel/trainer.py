@@ -6,10 +6,17 @@ simultaneously, one per mesh position -- each carries its own sequential
 PVGO state (time cannot be split, SURVEY.md section 2), parameters are
 replicated, and the per-epoch update averages gradients across sequences
 with a single ICI all-reduce.
+
+Production parity with the single-chip Trainer (islam_tpu/train.py):
+per-sequence trajectory snapshots (the reference's snapshot(),
+train.py:51-61), checkpoint save/resume with optimizer state, and a
+tail-chunk fallback so a non-dividing --scan-chunk reuses the per-window
+program instead of compiling a second scan program per tail length.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any, List
 
 import jax
@@ -23,6 +30,7 @@ from islam_tpu.parallel.mesh import (make_mesh, multi_sequence_train_scan,
                                      multi_sequence_train_step,
                                      replicate, shard_batch)
 from islam_tpu.testing import device_batch
+from islam_tpu.utils import checkpoints as ckpt
 
 
 def _stack(trees):
@@ -104,15 +112,25 @@ class MultiSequenceTrainer:
             wins.append(imu.window_inputs(start, start + self.B))
         return batches, wins
 
-    def run_epoch(self, scan_chunk: int = 0):
+    def run_epoch(self, scan_chunk: int = 0, epoch: int = 1,
+                  snapshot_dir=None, snapshot_interval=None):
         """One epoch over all sequences in parallel.
 
         ``scan_chunk`` > 1 fuses that many sequential windows per sequence
-        into one lax.scan program (multi_sequence_train_scan).  The
-        per-sequence state carry stays ON DEVICE between windows
-        (aux['carry']); only the epoch-end states are fetched.
+        into one lax.scan program (multi_sequence_train_scan).  Only
+        full-size chunks go through the scan program; the remainder falls
+        through to the already-compiled per-window step (the same
+        tail-recompile hazard train.py:443-447 avoids: a tail chunk with a
+        different static K would compile ANOTHER full XLA program per
+        distinct tail length).
+
+        ``snapshot_dir``: per-sequence trajectory snapshots are written to
+        ``{snapshot_dir}/seq{i}/{epoch}/`` in the reference's layout
+        (vo/pgo/imu pose+motion text files, train.py:51-61).
         """
         import optax
+
+        from islam_tpu.train import _TrajLogs
 
         n_batches = min(len(ds) for ds in self.datasets) // self.B
         grad_accum = None
@@ -125,13 +143,37 @@ class MultiSequenceTrainer:
             vel=jnp.asarray(np.asarray(ds.imu_init["vel"]), jnp.float32))
             for ds in self.datasets]))
 
+        trajs = [_TrajLogs(dict(ds.imu_init)) for ds in self.datasets]
+        pending = []  # deferred aux fetches (one device->host sync per flush)
+
+        def flush():
+            for aux in pending:
+                m = np.asarray(aux["motions"])
+                pg = np.asarray(aux["pgo_poses"])
+                pv = np.asarray(aux["pgo_vels"])
+                ip = np.asarray(aux["imu_poses"])
+                if m.ndim == 3:  # per-window (N, B, 7); scanned (N, K, B, 7)
+                    m, pg, pv, ip = m[:, None], pg[:, None], pv[:, None], ip[:, None]
+                for s in range(len(self.datasets)):
+                    for k in range(m.shape[1]):
+                        trajs[s].extend(m[s, k], pg[s, k], pv[s, k], ip[s, k])
+            pending.clear()
+
+        def save_snapshots():
+            if not snapshot_dir:
+                return
+            flush()
+            for s, t in enumerate(trajs):
+                t.save(os.path.join(snapshot_dir, f"seq{s}"), epoch)
+
+        bi = 0
+        last_snap = 0
         if scan_chunk > 1:
             if self._scan_fn is None:
                 self._scan_fn = multi_sequence_train_scan(
                     self.mesh, **self._static_kwargs)
-            bi = 0
-            while bi < n_batches:
-                K = min(scan_chunk, n_batches - bi)
+            K = scan_chunk
+            while bi + K <= n_batches:
                 per_win = [self._window_inputs((bi + k) * self.B)
                            for k in range(K)]
                 # (N, K, ...): stack windows per sequence, then sequences
@@ -145,26 +187,40 @@ class MultiSequenceTrainer:
                     self.vo_variables, self.dn_params, batches_s, wins_s,
                     inits_s, *self._aux_consts)
                 inits_s = aux["carry"]
+                pending.append(
+                    {k: aux[k] for k in ("motions", "pgo_poses", "pgo_vels",
+                                         "imu_poses")})
                 losses.extend(np.asarray(loss_nk).mean(axis=0).tolist())
                 if grads is not None:
                     grad_accum = grads if grad_accum is None else (
                         jax.tree_util.tree_map(jnp.add, grad_accum, grads))
                 bi += K
-        else:
-            for bi in range(n_batches):
-                batches, wins = self._window_inputs(bi * self.B)
-                batches_s = shard_batch(self.mesh, _stack(batches))
-                wins_s = shard_batch(self.mesh, _stack(wins))
+                if snapshot_interval and bi // snapshot_interval > last_snap:
+                    last_snap = bi // snapshot_interval
+                    save_snapshots()
 
-                loss, grads, aux = self.step_fn(
-                    self.vo_variables, self.dn_params, batches_s, wins_s,
-                    inits_s, *self._aux_consts)
-                losses.append(float(loss))
-                if grads is not None:
-                    grad_accum = grads if grad_accum is None else (
-                        jax.tree_util.tree_map(jnp.add, grad_accum, grads))
-                # per-sequence state carry, device-resident
-                inits_s = aux["carry"]
+        # Per-window loop: everything when not scanned (bi == 0), the tail
+        # remainder (n_batches % scan_chunk windows) when scanned -- on the
+        # program compiled at construction (self.step_fn), no new compile.
+        for bi in range(bi, n_batches):
+            batches, wins = self._window_inputs(bi * self.B)
+            batches_s = shard_batch(self.mesh, _stack(batches))
+            wins_s = shard_batch(self.mesh, _stack(wins))
+
+            loss, grads, aux = self.step_fn(
+                self.vo_variables, self.dn_params, batches_s, wins_s,
+                inits_s, *self._aux_consts)
+            losses.append(float(loss))
+            if grads is not None:
+                grad_accum = grads if grad_accum is None else (
+                    jax.tree_util.tree_map(jnp.add, grad_accum, grads))
+            # per-sequence state carry, device-resident
+            inits_s = aux["carry"]
+            pending.append(
+                {k: aux[k] for k in ("motions", "pgo_poses", "pgo_vels",
+                                     "imu_poses")})
+            if snapshot_interval and (bi + 1) % snapshot_interval == 0:
+                save_snapshots()
 
         # one fetch at epoch end, for inspection/checkpointing
         carry = jax.tree_util.tree_map(np.asarray, inits_s)
@@ -182,4 +238,50 @@ class MultiSequenceTrainer:
             out = dict(self.vo_variables)
             out["params"] = p
             self.vo_variables = out
+
+        save_snapshots()
         return losses
+
+    # ---- checkpointing (parity with Trainer.save_models/resume) ----
+
+    def _ckpt_state(self):
+        state = {
+            "vo_variables": jax.tree_util.tree_map(
+                np.asarray, self.vo_variables),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+            "seq_states": [
+                {k: np.asarray(v) for k, v in st.items()}
+                for st in self._init_states],
+        }
+        if self.dn_params is not None:
+            state["dn_params"] = jax.tree_util.tree_map(
+                np.asarray, self.dn_params)
+        return state
+
+    def save_models(self, directory, epoch):
+        ckpt.save_checkpoint(directory, epoch, self._ckpt_state())
+
+    def resume(self, directory, start_epoch):
+        """Restore the most recent checkpoint before ``start_epoch``:
+        replicated parameters, optimizer state, and the per-sequence carry
+        states (so a resumed run continues each trajectory where the saved
+        epoch ended)."""
+        step = ckpt.latest_checkpoint_step(directory, start_epoch)
+        if step is None:
+            return None
+        template = self._ckpt_state()
+        stored = ckpt.checkpoint_top_keys(directory, step)
+        if stored is not None:
+            template = {k: v for k, v in template.items() if k in stored}
+        state = ckpt.restore_checkpoint(directory, step, template)
+        self.vo_variables = replicate(self.mesh, state["vo_variables"])
+        if state.get("opt_state") is not None:
+            self.opt_state = jax.tree_util.tree_map(
+                jnp.asarray, state["opt_state"])
+        if state.get("dn_params") is not None:
+            self.dn_params = replicate(self.mesh, state["dn_params"])
+        if state.get("seq_states") is not None:
+            self._init_states = [
+                {k: np.asarray(v) for k, v in st.items()}
+                for st in state["seq_states"]]
+        return step

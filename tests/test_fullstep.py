@@ -302,3 +302,202 @@ class TestFullStepParity:
         cos = tot_dot / max((tot_j2 ** 0.5) * (tot_t2 ** 0.5), 1e-30)
         assert cos > 0.999, cos
         assert tot_t2 > 0.0
+
+
+# ---------------------------------------------------------------------------
+# IMU-target full-step parity (VERDICT round-2 task #4)
+# ---------------------------------------------------------------------------
+# The second half of the bi-level loop (train.py:236-283 with
+# train_target='imu'): denoiser forward inside the integration -> motion-mode
+# deltas -> PVGO LM on detached inputs -> imu_loss on the converged nodes
+# (pvgo.py:95-111) -> gradients into the DENOISER parameters.
+#
+# NOTE on reference semantics: imu_integrator.py:109 calls the denoiser with
+# eval=True, whose `torch.set_grad_enabled(not eval)` guard BLOCKS gradients
+# -- the reference's imu_optimizer.step() (train.py:176-179) therefore steps
+# with denoiser .grad=None every epoch (a silent no-op).  This framework
+# implements the documented INTENT (SURVEY.md imu_loss -> denoiser gradient
+# path): the oracle below runs the reference's own IMUCorrector_CNN_GRU_WO_COV
+# with grad enabled so torch autograd traces the identical chain.
+
+IMU_H, IMU_W = 64, 128  # no VO forward in imu epochs (motions replayed)
+
+
+def _t_motion_integrate(dts, gyros, accels, frame_slices, init_rot, gravity):
+    """Differentiable torch replica of the reference's per-frame motion-mode
+    integration (imu_integrator.py:116-164): pos/vel restart at zero each
+    frame, rotation carries; Euler zero-order hold per sample."""
+    from oracle_helpers import (t_quat_inv, t_quat_mul, t_quat_rotate,
+                                t_so3_exp)
+
+    g_w = torch.tensor([0.0, 0.0, -float(gravity)], dtype=torch.float64)
+    rot = init_rot.to(torch.float64)
+    drots, dposs, dvels = [], [], []
+    for s, e in frame_slices:
+        pos = torch.zeros(3, dtype=torch.float64)
+        vel = torch.zeros(3, dtype=torch.float64)
+        r = rot
+        for k in range(s, e):
+            dt = dts[k]
+            a_w = t_quat_rotate(r, accels[k]) + g_w
+            pos = pos + vel * dt + 0.5 * a_w * dt * dt
+            vel = vel + a_w * dt
+            r = t_quat_mul(r, t_so3_exp(gyros[k] * dt))
+        drots.append(t_quat_mul(t_quat_inv(rot), r))
+        dposs.append(pos)
+        dvels.append(vel)
+        rot = r
+    return (torch.stack(drots), torch.stack(dposs), torch.stack(dvels))
+
+
+@pytest.fixture(scope="module")
+def fullstep_imu():
+    from islam_tpu.imu import denoiser as jdn
+    from islam_tpu.pvgo.pypose_replica import pypose_lm_replica
+    from islam_tpu.testing import (make_dataset, make_imu_module,
+                                   make_step_inputs)
+    from islam_tpu.train import _import_denoiser, train_step
+    from oracle_helpers import (imu_integrate_loop, np_pvgo_residual_builder,
+                                t_quat_inv, t_quat_log, t_quat_mul,
+                                t_quat_rotate, t_so3_exp)
+    from scipy.spatial.transform import Rotation
+
+    from Network.IMUDenoiseNet import IMUCorrector_CNN_GRU_WO_COV
+
+    torch.manual_seed(1)
+    tden = IMUCorrector_CNN_GRU_WO_COV()
+    sd = {k: v.detach().numpy() for k, v in tden.state_dict().items()}
+    dn_params = _import_denoiser(None, sd)
+
+    ds = make_dataset(num_frames=5, height=IMU_H, width=IMU_W, seed=7)
+    imu_mod = make_imu_module(ds, batch_frames=B)
+    batch, imu_win, init_state = make_step_inputs(ds, imu_mod, 0, B)
+
+    # Replayed VO motions (imu epochs skip the VO forward, train.py:204-208):
+    # GT relative poses, identical constants on both sides.
+    P = np.asarray(ds.poses, np.float64)
+    motions_np = np.empty((B, 7), np.float32)
+    for i in range(B):
+        Ra = Rotation.from_quat(P[i, 3:])
+        Rb = Rotation.from_quat(P[i + 1, 3:])
+        rel_R = Ra.inv() * Rb
+        motions_np[i, :3] = Ra.inv().apply(P[i + 1, :3] - P[i, :3])
+        motions_np[i, 3:] = rel_R.as_quat()
+
+    # ---- jitted step (target='imu': grads w.r.t. denoiser params) ----
+    loss_j, grads_j, aux_j = train_step(
+        {}, dn_params, batch, imu_win, init_state,
+        jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
+        imu_mod.gravity, imu_mod.accel_bias, imu_mod.gyro_bias,
+        jnp.asarray(False),
+        target="imu", datatype="kitti", correct_scale=False,
+        use_kitti_coord=True, denoise_accel=True, denoise_gyro=False,
+        loss_weight=LOSS_W, rot_w=ROT_W, trans_w=TRANS_W,
+        prev_motions=jnp.asarray(motions_np))
+
+    # ---- torch oracle ----
+    sync = np.asarray(ds.rgb2imu_sync)
+    i0, i1 = int(sync[0]), int(sync[B]) + 1
+    acc_w = torch.tensor(np.asarray(ds.accels[i0:i1]), dtype=torch.float32)
+    gyr_w = torch.tensor(np.asarray(ds.gyros[i0:i1]), dtype=torch.float32)
+    # grad ENABLED (see module note); kitti => denoise accel only
+    dacc, dgyr, _, _ = tden({"acc": acc_w, "gyro": gyr_w}, eval=False)
+    acc_used = dacc
+    gyr_used = gyr_w
+
+    dts_np = np.asarray(ds.imu_dts, np.float64)
+    if dts_np.shape[0] < np.asarray(ds.accels).shape[0]:
+        dts_np = np.concatenate([dts_np, dts_np[-1:]])
+    dts_t = torch.tensor(dts_np[i0:i1], dtype=torch.float64)
+    frame_slices = [(int(sync[i]) - i0, int(sync[i + 1]) - i0)
+                    for i in range(0, B)]
+    init_rot = torch.tensor(np.asarray(ds.imu_init["rot"], np.float64))
+    drots_t, dpos_t, dvels_t = _t_motion_integrate(
+        dts_t, gyr_used.to(torch.float64), acc_used.to(torch.float64),
+        frame_slices, init_rot, float(np.asarray(imu_mod.gravity)))
+
+    # ---- LM on detached inputs (world init from denoised window) ----
+    full_acc = np.asarray(ds.accels, np.float64).copy()
+    full_acc[i0:i1] = acc_used.detach().numpy()
+    pos_w, rot_w_q, vel_w = imu_integrate_loop(
+        full_acc, ds.gyros, ds.imu_dts, sync, 0, B, ds.imu_init, ds.gravity)
+    imu_poses_o = np.concatenate([pos_w, rot_w_q], axis=1)
+
+    links = np.asarray(batch["links"])
+    dts_frames = np.asarray(batch["dts"], np.float64).reshape(-1)
+    residual, jacobian = np_pvgo_residual_builder(
+        links, motions_np.astype(np.float64),
+        drots_t.detach().numpy(), dpos_t.detach().numpy(),
+        dvels_t.detach().numpy(), dts_frames, LOSS_W)
+    res = pypose_lm_replica(residual, jacobian, imu_poses_o, vel_w,
+                            radius=1e4)
+
+    # ---- imu_loss on CONVERGED (pre-align) nodes/vels (pvgo.py:95-111,
+    # computed before align_to at pvgo.py:195) + torch backward ----
+    nodes_c = torch.tensor(res.nodes, dtype=torch.float64)
+    vels_c = torch.tensor(res.vels, dtype=torch.float64)
+    adjvelerr = dvels_t - (vels_c[1:] - vels_c[:-1])
+    q1, q2 = nodes_c[:-1, 3:], nodes_c[1:, 3:]
+    qe = t_quat_mul(t_quat_inv(drots_t),
+                    t_quat_mul(t_quat_inv(q1), q2))
+    imuroterr = t_quat_log(qe)
+    trans_l = (adjvelerr ** 2).sum(dim=1)
+    rot_l = (imuroterr ** 2).sum(dim=1)
+    loss_t = ROT_W * rot_l.sum() + TRANS_W * trans_l.sum()
+    loss_t.backward()
+
+    grads_t = {k: (p.grad.numpy() if p.grad is not None
+                   else np.zeros(p.shape, np.float32))
+               for k, p in tden.named_parameters()}
+    g_t = _import_denoiser(None, grads_t)
+
+    return dict(
+        loss_j=float(loss_j), loss_t=float(loss_t.detach()),
+        grads_j=grads_j, grads_t=g_t, aux_j=aux_j,
+        drots_t=drots_t.detach().numpy(), dvels_t=dvels_t.detach().numpy(),
+        imu_poses_o=imu_poses_o, imu_vels_o=vel_w,
+        nodes_o=res.nodes, vels_o=res.vels)
+
+
+@needs_oracle
+class TestFullStepIMUParity:
+    def test_world_states(self, fullstep_imu):
+        aux = fullstep_imu["aux_j"]
+        np.testing.assert_allclose(np.asarray(aux["imu_poses"]),
+                                   fullstep_imu["imu_poses_o"], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(aux["imu_vels"]),
+                                   fullstep_imu["imu_vels_o"], atol=2e-4)
+
+    def test_loss(self, fullstep_imu):
+        assert fullstep_imu["loss_t"] != 0.0
+        rel = abs(fullstep_imu["loss_j"] - fullstep_imu["loss_t"]) / abs(
+            fullstep_imu["loss_t"])
+        assert rel < 5e-3, (fullstep_imu["loss_j"], fullstep_imu["loss_t"])
+
+    def test_denoiser_gradients(self, fullstep_imu):
+        """The imu-epoch learning signal: d loss / d denoiser params,
+        torch autograd (reference net + sequential integration) vs jax grad
+        through the padded-scan integrate_window."""
+        flat_j = jax.tree_util.tree_flatten_with_path(
+            fullstep_imu["grads_j"])[0]
+        flat_t = jax.tree_util.tree_flatten_with_path(
+            fullstep_imu["grads_t"])[0]
+        assert len(flat_j) == len(flat_t)
+        tot_j2 = tot_t2 = tot_dot = 0.0
+        for (pj, gj), (pt, gt) in zip(flat_j, flat_t):
+            assert jax.tree_util.keystr(pj) == jax.tree_util.keystr(pt)
+            gj = np.asarray(gj, np.float64)
+            gt = np.asarray(gt, np.float64)
+            nj, nt = np.linalg.norm(gj), np.linalg.norm(gt)
+            tot_j2 += nj ** 2
+            tot_t2 += nt ** 2
+            tot_dot += float((gj * gt).sum())
+            if nt > 1e-6:
+                rel = np.linalg.norm(gj - gt) / nt
+                assert rel < 0.05, (jax.tree_util.keystr(pj), rel)
+            elif nt > 1e-12 and nj > 1e-12:
+                cos_leaf = float((gj * gt).sum()) / (nj * nt)
+                assert cos_leaf > 0.999, (jax.tree_util.keystr(pj), cos_leaf)
+        cos = tot_dot / max((tot_j2 ** 0.5) * (tot_t2 ** 0.5), 1e-30)
+        assert cos > 0.999, cos
+        assert tot_t2 > 0.0

@@ -257,3 +257,24 @@ class TestEvaluateScript:
         assert rec["epoch"] == 1 and rec["frames"] == n
         assert 0 < rec["ate"] < 0.05 and rec["rpe_rot"] < 1e-6
         assert any("best_pgo_pose" in l for l in lines)
+
+
+class TestBenchFlopsConstant:
+    def test_mfu_constant_matches_analytic_tool(self):
+        """bench.py's MODEL_TFLOPS_FALLBACK must track the analytic FLOPs
+        tool at the full bench shapes (VERDICT r2 weak #4: a hard-coded
+        constant silently staling the MFU line of every BENCH JSON).
+        Tracing is abstract (no compile, no device), so re-deriving the
+        full-shape number is fast-sweep safe."""
+        import sys
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        import bench
+        from tools.flops_analysis import train_step_flops
+
+        got = train_step_flops(bench.H, bench.W, bench.B)
+        assert abs(got["model_tflops_per_step"]
+                   - bench.MODEL_TFLOPS_FALLBACK) <= 1e-3, (
+            f"bench.MODEL_TFLOPS_FALLBACK={bench.MODEL_TFLOPS_FALLBACK} "
+            f"stale vs analytic {got['model_tflops_per_step']}")

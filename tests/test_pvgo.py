@@ -336,3 +336,89 @@ class TestPyPoseParity:
         for n, v in sols[1:]:
             np.testing.assert_allclose(n[:, :3], sols[0][0][:, :3], atol=1e-4)
             np.testing.assert_allclose(v, sols[0][1], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Third-implementation cross-check (VERDICT round-2 weak #5)
+# ---------------------------------------------------------------------------
+# The PyPose replica above and pvgo/lm.py were written by the same hand from
+# the same docs, so a shared misreading of PyPose's CONTROL FLOW would pass
+# every parity test.  MINPACK (scipy.optimize.least_squares, method='lm') is
+# a genuinely foreign LM implementation: converged-SOLUTION agreement on the
+# identical PVGO residuals pins the optimization problem itself — what the
+# solver converges TO — independent of either implementation's step rule.
+# (Per-iterate behavior remains pinned only replica-vs-jit; see
+# docs/RESULTS.md "What is and isn't pinned".)
+
+def _np_align_to(nodes, vels, target):
+    """align_to (pvgo.py:114-119): left-multiply the gauge correction that
+    maps nodes[0] onto target; rotate velocities with it."""
+    src = nodes[0]
+    corr_R = Rotation.from_quat(target[3:]) * Rotation.from_quat(src[3:]).inv()
+    corr_t = target[:3] - corr_R.apply(src[:3])
+    out = np.empty_like(nodes)
+    out[:, :3] = corr_R.apply(nodes[:, :3]) + corr_t
+    out[:, 3:] = (corr_R * Rotation.from_quat(nodes[:, 3:])).as_quat()
+    return out, corr_R.apply(vels)
+
+
+class TestScipyLMCrossCheck:
+    def test_converged_solutions_agree(self):
+        from scipy.optimize import least_squares
+
+        for noise, seed in [(0.0, 10), (0.02, 11), (0.05, 12)]:
+            rng = np.random.default_rng(seed)
+            p = make_problem(noise=noise)
+            init_nodes, init_vels = _perturbed_init(p, rng)
+            res_np, _ = _np_residual_builder(p, WEIGHTS)
+            N = init_nodes.shape[0]
+
+            # MINPACK works on a flat Euclidean vector: parametrize by the
+            # 9N tangent at the init (same retraction the replica uses).
+            def flat_res(x):
+                xi = x[:6 * N].reshape(N, 6)
+                dv = x[6 * N:].reshape(N, 3)
+                return res_np(retract_nodes(init_nodes, xi), init_vels + dv)
+
+            sol = least_squares(flat_res, np.zeros(9 * N), method="lm",
+                                xtol=1e-14, ftol=1e-14, gtol=1e-14)
+            nodes_s = retract_nodes(init_nodes, sol.x[:6 * N].reshape(N, 6))
+            vels_s = init_vels + sol.x[6 * N:].reshape(N, 3)
+            cost_s = float(np.sum(sol.fun ** 2))
+
+            # Run OUR solver to convergence (the reference's StopOnPlateau
+            # early-exit is a stopping POLICY, pinned by TestPyPoseParity;
+            # here the contract is the fixed point).
+            cfg = LMConfig(max_steps=60, patience=60, decreasing=-1.0)
+            with jax.enable_x64(True):
+                res_jax = _jax_residual_builder(p, WEIGHTS, jnp.float64)
+                nodes_j, vels_j, cost_j, _ = lm_solve_manifold(
+                    res_jax, jnp.asarray(init_nodes, jnp.float64),
+                    jnp.asarray(init_vels, jnp.float64), cfg)
+            # np.array (copy): scipy Rotation rejects the read-only view
+            # np.asarray gives over a jax buffer
+            nodes_j = np.array(nodes_j)
+            vels_j = np.array(vels_j)
+            cost_j = float(cost_j)
+
+            rel_cost = abs(cost_j - cost_s) / max(cost_s, 1e-300)
+            assert rel_cost < 1e-6 or cost_j < cost_s, (
+                f"final costs diverge (noise={noise}): "
+                f"jax={cost_j} minpack={cost_s}")
+
+            # The problem has a 6-dim gauge (global SE3 with rotated vels);
+            # align both solutions to the init anchor before comparing.
+            nodes_s_a, vels_s_a = _np_align_to(nodes_s, vels_s, init_nodes[0])
+            nodes_j_a, vels_j_a = _np_align_to(nodes_j, vels_j, init_nodes[0])
+            np.testing.assert_allclose(
+                nodes_j_a[:, :3], nodes_s_a[:, :3], atol=2e-5,
+                err_msg=f"node translations (noise={noise})")
+            dots = np.abs(np.sum(nodes_j_a[:, 3:] * nodes_s_a[:, 3:], axis=-1))
+            np.testing.assert_allclose(
+                dots, 1.0, atol=1e-8,
+                err_msg=f"node rotations (noise={noise})")
+            # velocities see the flattest cost directions; both solvers stop
+            # within ~1e-4 of the shared fixed point
+            np.testing.assert_allclose(
+                vels_j_a, vels_s_a, atol=1e-4,
+                err_msg=f"velocities (noise={noise})")
