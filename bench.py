@@ -29,7 +29,9 @@ REFERENCE_STEP_SECONDS = 1.0  # documented estimate; see module docstring
 # (448x640, bs=8, fwd+bwd, LM while bounded at 10 trips), measured with
 # tools/flops_analysis.py.  Anchors the absolute perf claim: MFU =
 # flops * steps_per_sec / chip peak (TPU v5e bf16 peak 197 TFLOP/s).
-MODEL_TFLOPS_FALLBACK = 5.0026  # tools/flops_analysis.py output, round 2
+MODEL_TFLOPS_FALLBACK = 4.4062  # tools/flops_analysis.py output, round 3
+# (5.0026 in round 2; the quarter-res stereo head removed 15/16 of the
+# full-res deconv+head convs, reference VONet.py:34 folded into the net)
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 H, W, B = 448, 640, 8

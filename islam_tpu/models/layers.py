@@ -114,6 +114,16 @@ class ConvT2d(nn.Module):
     Param ``kernel`` is stored pre-flipped in (H, W, I, O) so the forward is
     a single conv_general_dilated; the torch importer flips when converting.
     Accepts a tuple of channel-parts like PartsConv.
+
+    ``out_stride`` = n > 1 computes ONLY the output rows/cols at positions
+    0, n, 2n, ... (exactly ``full_output[::n, ::n]``) without materializing
+    the full-resolution output.  Because a stride-s transposed conv's output
+    at position m uses only the kernel taps t with t % s == pad % s when
+    m % s == 0, the subsampled output is an ordinary strided conv over the
+    un-dilated input with the spatially sliced kernel — 1/n^2 of the work.
+    Used by StereoNet7's quarter-res disparity head (the trainer consumes
+    disp only through a x4 nearest downsample, reference VONet.py:34).
+    Requires out_stride % stride == 0.
     """
     features: int
     kernel_size: int = 4
@@ -121,6 +131,7 @@ class ConvT2d(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Any = None
+    out_stride: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -133,14 +144,39 @@ class ConvT2d(nn.Module):
         pad = k - 1 - p
         dt = self.dtype or parts[0].dtype
 
-        def conv_one(q, kp):
-            return jax.lax.conv_general_dilated(
-                q.astype(dt), kp.astype(dt),
-                window_strides=(1, 1),
-                padding=((pad, pad), (pad, pad)),
-                lhs_dilation=(s, s),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        if self.out_stride > 1:
+            os_ = self.out_stride
+            assert os_ % s == 0, (os_, s)
+            # full_out[m] = sum_t dilate(x,s)[m + t - pad] * K[t]; at
+            # m = os*i only taps with (os*i + t - pad) % s == 0 hit real
+            # (non-inserted-zero) input samples: t % s == pad % s.  Those
+            # taps read consecutive input positions (os//s)*i + (t-pad)//s.
+            t0 = pad % s
+            taps = list(range(t0, k, s))
+            ke = len(taps)
+            st = os_ // s
+            pb = max(0, -((taps[0] - pad) // s))  # left zero-pad
+            kernel = kernel[t0::s, t0::s]
+
+            def conv_one(q, kp):
+                n_out = (q.shape[1] * s // os_, q.shape[2] * s // os_)
+                y = jax.lax.conv_general_dilated(
+                    q.astype(dt), kp.astype(dt),
+                    window_strides=(st, st),
+                    padding=((pb, 0), (pb, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                assert y.shape[1:3] == n_out, (y.shape, n_out, ke, pb)
+                return y
+        else:
+            def conv_one(q, kp):
+                return jax.lax.conv_general_dilated(
+                    q.astype(dt), kp.astype(dt),
+                    window_strides=(1, 1),
+                    padding=((pad, pad), (pad, pad)),
+                    lhs_dilation=(s, s),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
 
         y = _split_conv_sum(parts, kernel, conv_one)
         if self.use_bias:

