@@ -278,22 +278,60 @@ def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
     return m
 
 
+def _upsample2x_bilinear(x):
+    """Exact x2 bilinear upsample (torch F.interpolate align_corners=False
+    half-pixel semantics, including the edge clamp) as ONE depthwise
+    fractionally-strided conv: edge-pad by 1, lhs_dilation=2, fixed 4-tap
+    kernel [.25,.75,.75,.25] (outer product in 2-D).
+
+    out[2i] = .25 x[i-1] + .75 x[i]; out[2i+1] = .75 x[i] + .25 x[i+1]
+    (clamped), which is what the half-pixel source grid f = m/2 - 1/4
+    evaluates to.  Stays in native NHWC — the einsum-matmul form forces
+    XLA:TPU layout copies on both passes (the 'copy' family in
+    docs/RESULTS.md), which for a bandwidth-bound op costs more than the
+    whole resize."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    k1 = np.asarray([0.25, 0.75, 0.75, 0.25], np.float32)
+    k = jnp.asarray(np.outer(k1, k1).reshape(4, 4, 1, 1), x.dtype)
+    k = jnp.broadcast_to(k, (4, 4, 1, C))
+    return jax.lax.conv_general_dilated(
+        xp, k, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C)
+
+
+def _resize_bilinear_matmul(x, out_hw, align_corners):
+    """General-ratio path: two static-matrix contractions on the MXU."""
+    H, W = x.shape[1], x.shape[2]
+    Ho, Wo = out_hw
+    my = jnp.asarray(_interp_matrix(H, Ho, align_corners), x.dtype)
+    mx = jnp.asarray(_interp_matrix(W, Wo, align_corners), x.dtype)
+    out = jnp.einsum("oh,bhwc->bowc", my, x)
+    return jnp.einsum("pw,bowc->bopc", mx, out)
+
+
 def resize_bilinear(x, out_hw, align_corners=False):
     """Bilinear resize of NHWC ``x`` to ``out_hw`` = (H', W').
 
     align_corners=False matches torch F.interpolate default (half-pixel
     centers, no antialias prefilter); align_corners=True matches the PSM
-    feature pyramid (Network/PSM/submodule.py:131-143).  Implemented as two
-    static-matrix contractions (MXU-friendly, no gathers).
+    feature pyramid (Network/PSM/submodule.py:131-143).  Exact x2 / x1/2
+    half-pixel resizes take layout-native paths (depthwise dilated conv /
+    2x2 average pool — both identical math to the general path); other
+    ratios are two static-matrix contractions (MXU-friendly, no gathers).
     """
     H, W = x.shape[1], x.shape[2]
     Ho, Wo = out_hw
     if (Ho, Wo) == (H, W):
         return x
-    my = jnp.asarray(_interp_matrix(H, Ho, align_corners), x.dtype)
-    mx = jnp.asarray(_interp_matrix(W, Wo, align_corners), x.dtype)
-    out = jnp.einsum("oh,bhwc->bowc", my, x)
-    return jnp.einsum("pw,bowc->bopc", mx, out)
+    if not align_corners:
+        if (Ho, Wo) == (2 * H, 2 * W):
+            return _upsample2x_bilinear(x)
+        if (H, W) == (2 * Ho, 2 * Wo):
+            # Half-pixel x1/2: every output is the mean of its 2x2 block.
+            return nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+    return _resize_bilinear_matmul(x, out_hw, align_corners)
 
 
 def interpolate_scale(x, scale, mode="bilinear"):

@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from islam_tpu.models.layers import (BatchNorm, Conv2d, ConvT2d, avg_pool,
-                                     max_pool, resize_bilinear)
+from islam_tpu.models.layers import (BatchNorm, Conv2d, Conv2dP, ConvT2d,
+                                     avg_pool, max_pool, resize_bilinear)
 
 
 class ConvBN(nn.Module):
@@ -212,18 +212,18 @@ class StereoNet7(nn.Module):
         B, H, W, C = x.shape
         assert C % 2 == 0
         # Batch-doubling trick (StereoNet7.py:96-98): shared extractor on
-        # stacked L/R halves.
-        x1 = x.reshape(B, H, W, 2, C // 2)
-        x1 = jnp.moveaxis(x1, 3, 1).reshape(B * 2, H, W, C // 2)
+        # the stacked L/R halves, block order like torch's cat((l, r), 0).
+        x1 = jnp.concatenate([x[..., :C // 2], x[..., C // 2:]], axis=0)
         x1 = FeatureExtraction(train=self.train_bn,
                                name="feature_extraction")(x1)
-        h2, w2, f = x1.shape[1], x1.shape[2], x1.shape[3]
-        x1 = x1.reshape(B, 2, h2, w2, f)
-        x1 = jnp.moveaxis(x1, 1, 3).reshape(B, h2, w2, 2 * f)
+        # conv_c0 consumes cat(l_feat, r_feat, x2) along channels
+        # (StereoNet7.py:99-101); feeding the three as channel-parts of a
+        # sliced-kernel conv (kernel ranges [0:f], [f:2f], [2f:2f+C]) avoids
+        # materializing the (B, h, w, 2f) channel interleave — two ~147 MB
+        # layout copies per step at the bench shapes.  Identical math and
+        # identical 'kernel' parameter, so torch import is unaffected.
         x2 = resize_bilinear(x, (H // 2, W // 2), align_corners=False)
-        x = jnp.concatenate([x1, x2], axis=-1)
-
-        x = Conv2d(64, 3, 1, 1, name="conv_c0")(x)             # 1/2
+        x = Conv2dP(64, 3, 1, 1, name="conv_c0")((x1[:B], x1[B:], x2))
         cat0 = Hourglass(2, 64, 0, name="conv_c1")(x)           # 1/2 - 64
         x = Hourglass(2, 64, 0, name="conv_c2")(cat0)           # 1/2
         x = max_pool(x, 2)                                      # 1/4 - 64

@@ -113,6 +113,55 @@ class TestQuarterStereoHead:
                                        atol=1e-5)
 
 
+class TestResizeFastPaths:
+    """The x2 / x1/2 half-pixel resizes take layout-native TPU paths
+    (depthwise dilated conv / 2x2 avg pool).  Both must match (a) the
+    general matmul path and (b) torch F.interpolate itself."""
+
+    def _torch_bilinear(self, x_nhwc, out_hw):
+        import torch
+        t = torch.from_numpy(np.asarray(x_nhwc)).permute(0, 3, 1, 2)
+        y = torch.nn.functional.interpolate(
+            t, size=out_hw, mode="bilinear", align_corners=False)
+        return y.permute(0, 2, 3, 1).numpy()
+
+    def test_upsample2x_matches_matmul_and_torch(self):
+        from islam_tpu.models.layers import (_resize_bilinear_matmul,
+                                             resize_bilinear)
+        x = jnp.asarray(RNG.normal(size=(2, 7, 10, 5)), jnp.float32)
+        got = resize_bilinear(x, (14, 20), align_corners=False)
+        ref = _resize_bilinear_matmul(x, (14, 20), False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got),
+                                   self._torch_bilinear(x, (14, 20)),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_downsample2x_matches_matmul_and_torch(self):
+        from islam_tpu.models.layers import (_resize_bilinear_matmul,
+                                             resize_bilinear)
+        x = jnp.asarray(RNG.normal(size=(2, 8, 12, 3)), jnp.float32)
+        got = resize_bilinear(x, (4, 6), align_corners=False)
+        ref = _resize_bilinear_matmul(x, (4, 6), False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got),
+                                   self._torch_bilinear(x, (4, 6)),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_general_ratio_and_align_corners_keep_matmul_path(self):
+        """Odd ratios and align_corners=True must not route to the fast
+        paths (their sampling grids differ)."""
+        from islam_tpu.models.layers import (_resize_bilinear_matmul,
+                                             resize_bilinear)
+        x = jnp.asarray(RNG.normal(size=(1, 6, 9, 4)), jnp.float32)
+        for out_hw, ac in (((13, 17), False), ((12, 18), True)):
+            got = resize_bilinear(x, out_hw, align_corners=ac)
+            ref = _resize_bilinear_matmul(x, out_hw, ac)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-6)
+
+
 class TestStereoLoss:
     def test_stereo_loss(self):
         from islam_tpu.models.stereonet import stereo_loss
