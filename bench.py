@@ -29,14 +29,20 @@ REFERENCE_STEP_SECONDS = 1.0  # documented estimate; see module docstring
 # (448x640, bs=8, fwd+bwd, LM while bounded at 10 trips), measured with
 # tools/flops_analysis.py.  Anchors the absolute perf claim: MFU =
 # flops * steps_per_sec / chip peak (TPU v5e bf16 peak 197 TFLOP/s).
-MODEL_TFLOPS_FALLBACK = 4.4062  # tools/flops_analysis.py output, round 3
-# (5.0026 in round 2; the quarter-res stereo head removed 15/16 of the
-# full-res deconv+head convs, reference VONet.py:34 folded into the net)
+MODEL_TFLOPS_FALLBACK = 4.3359  # tools/flops_analysis.py output, round 4
+# (5.0026 in round 2; 4.4062 after the quarter-res stereo head; 4.3359 after
+# the depthwise-conv/avg-pool resize fast paths replaced the einsum-matmul
+# x2/x0.5 resizes, models/layers.py — tests/test_misc.py pins this against
+# the analytic tool so it cannot silently go stale again)
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 H, W, B = 448, 640, 8
 WARMUP = 2
-ITERS = 10
+ITERS = 10   # windows per timed repetition (scan length / pipeline depth)
+REPS = 10    # timed repetitions; median + IQR reported (round-4 task 5:
+#              adopt/revert decisions on <2% deltas need spread, not a
+#              median-of-3 — builder-vs-driver scatter on identical code
+#              was ~4% in round 3)
 
 
 def main():
@@ -127,12 +133,11 @@ def run(quick: bool, bf16: bool, scan: bool = False,
             np.asarray(losses)  # value fetch: axon's block_until_ready can
             # return before remote execution finishes; fetching forces it
         times = []
-        for _ in range(3):
+        for _ in range(REPS):
             t0 = time.perf_counter()
             losses, grads, aux = train_scan(*sargs, **kwargs)
             np.asarray(losses)
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[1] / ITERS  # median of 3
+            times.append((time.perf_counter() - t0) / ITERS)
     else:
         def run_once():
             loss, grads, aux = train_step(*args, **kwargs)
@@ -146,15 +151,21 @@ def run(quick: bool, bf16: bool, scan: bool = False,
         # asynchronously and block once at the end (training does the same
         # -- host bookkeeping consumes outputs lazily), so per-dispatch
         # latency overlaps execution.
-        t0 = time.perf_counter()
-        outs = []
-        for _ in range(ITERS):
-            loss, grads, aux = train_step(*args, **kwargs)
-            outs.append(loss)
-        jax.block_until_ready(outs)
-        np.asarray(outs[-1])  # device order is FIFO: fetching the last
-        # loss proves every step finished (axon's block can return early)
-        dt = (time.perf_counter() - t0) / ITERS
+        times = []
+        for _ in range(REPS if not quick else 3):
+            t0 = time.perf_counter()
+            outs = []
+            for _ in range(ITERS):
+                loss, grads, aux = train_step(*args, **kwargs)
+                outs.append(loss)
+            jax.block_until_ready(outs)
+            np.asarray(outs[-1])  # device order is FIFO: fetching the last
+            # loss proves every step finished (axon's block can return early)
+            times.append((time.perf_counter() - t0) / ITERS)
+
+    times = sorted(times)
+    dt = float(np.median(times))
+    q1, q3 = float(np.percentile(times, 25)), float(np.percentile(times, 75))
 
     steps_per_sec = 1.0 / dt
     result = {
@@ -164,6 +175,14 @@ def run(quick: bool, bf16: bool, scan: bool = False,
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec * REFERENCE_STEP_SECONDS, 4),
+        # spread over the timed repetitions: perf claims at <2% resolution
+        # must cite non-overlapping [q1, q3] intervals, not point medians
+        "reps": len(times),
+        "step_ms_median": round(dt * 1e3, 3),
+        "step_ms_q1": round(q1 * 1e3, 3),
+        "step_ms_q3": round(q3 * 1e3, 3),
+        "steps_per_sec_q1": round(1.0 / q3, 4),
+        "steps_per_sec_q3": round(1.0 / q1, 4),
     }
     if not quick:
         # Absolute anchor (VERDICT round-1 item): analytic model FLOPs ->

@@ -41,6 +41,13 @@ def get_args(argv=None):
     # train.py): nonzero enables the dense reprojection factor as PVGO's
     # 5th residual block, weighted by loss_weight[4] (default 1.0).
     parser.add_argument('--reproj-points', type=int, default=0)
+    # Bi-level coupling through the PVGO solve: 'detached' reproduces the
+    # reference (stop-grad into the LM, one-step loss on the converged
+    # nodes, pvgo.py:146-168); 'implicit' differentiates the solution via
+    # the implicit function theorem; 'unrolled' backprops through the LM
+    # iterations (the reference's dead code path, pvgo.py:81-92).
+    parser.add_argument('--bilevel', default='detached',
+                        choices=['detached', 'implicit', 'unrolled'])
     # The following flags are parsed but unused, exactly as in the reference
     # (arguments.py:26-69 defines them; train.py never reads them -- verified
     # by grep, SURVEY.md section 5).  Kept so reference command lines port

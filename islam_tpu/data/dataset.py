@@ -15,7 +15,7 @@ import numpy as np
 
 from islam_tpu.data.loaders import LOADERS, SequenceData
 from islam_tpu.data.transforms import make_intrinsics_layer
-from islam_tpu.transformation import (SEs2ses, pos_quats2SEs, pose2motion)
+from islam_tpu.transformation import relative_twists
 
 
 class TrajFolderDataset:
@@ -94,9 +94,7 @@ class TrajFolderDataset:
         """GT relative motions in se3 form (TrajFolderDataset.py:459-466)."""
         if self.poses is None:
             return None
-        SEs = pos_quats2SEs(self.poses)
-        matrix = pose2motion(SEs, links=links)
-        return SEs2ses(matrix).astype(np.float32)
+        return relative_twists(self.poses, links=links).astype(np.float32)
 
     def undistort(self, img, is_right=False):
         if not self.require_undistort:

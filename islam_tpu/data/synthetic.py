@@ -96,10 +96,9 @@ class SyntheticTrajDataset:
 
         self.links = [[i, i + 1] for i in range(N - 1)]
         self.num_link = len(self.links)
-        from islam_tpu.transformation import SEs2ses, pos_quats2SEs, pose2motion
-        SEs = pos_quats2SEs(self.poses)
-        self.motions = SEs2ses(pose2motion(SEs, links=self.links)).astype(
-            np.float32)
+        from islam_tpu.transformation import relative_twists
+        self.motions = relative_twists(
+            self.poses, links=self.links).astype(np.float32)
 
     def __len__(self):
         return self.num_link

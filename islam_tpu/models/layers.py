@@ -156,17 +156,24 @@ class ConvT2d(nn.Module):
             ke = len(taps)
             st = os_ // s
             pb = max(0, -((taps[0] - pad) // s))  # left zero-pad
+            off = (taps[-1] - pad) // s  # rightmost tap's input offset
             kernel = kernel[t0::s, t0::s]
 
             def conv_one(q, kp):
                 n_out = (q.shape[1] * s // os_, q.shape[2] * s // os_)
+                # Right zero-pad mirrors pb: the last subsampled output may
+                # read taps from the transposed conv's right pad region
+                # (e.g. k=3, s=2, p=1, out_stride=2); without it the conv
+                # would come up short of full_output[::n].
+                pr = tuple(max(0, st * (n - 1) + off - (sz + pb - 1))
+                           for n, sz in zip(n_out, q.shape[1:3]))
                 y = jax.lax.conv_general_dilated(
                     q.astype(dt), kp.astype(dt),
                     window_strides=(st, st),
-                    padding=((pb, 0), (pb, 0)),
+                    padding=((pb, pr[0]), (pb, pr[1])),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                assert y.shape[1:3] == n_out, (y.shape, n_out, ke, pb)
+                assert y.shape[1:3] == n_out, (y.shape, n_out, ke, pb, pr)
                 return y
         else:
             def conv_one(q, kp):

@@ -140,22 +140,33 @@ def multi_sequence_train_step(mesh: Mesh, **static_kwargs):
     """Build the pjit'd multi-sequence step.
 
     Returns step(vo_variables, dn_params, batches, imu_wins, init_states,
-                 rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias)
+                 rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
+                 prev_motions)
     where every array in ``batches``/``imu_wins``/``init_states`` has a
-    leading sequence axis sharded over the mesh.  Output grads are averaged
-    over sequences (XLA lowers the mean to an all-reduce over ICI).
+    leading sequence axis sharded over the mesh.  The calibration constants
+    are PER-SEQUENCE too — ``rgb2imu_pose`` (N, 7), ``gravity`` (N,),
+    ``accel_bias``/``gyro_bias`` (N, 3), ``subtract_bias`` (N,) — each
+    sequence trains against its own dataset's calibration (KITTI drives from
+    different dates have different T_BS/biases; replicating sequence-0's
+    would silently corrupt the rest).  ``prev_motions`` is None on VO epochs
+    or a sharded (N, B, 7) replay of the previous VO epoch's motions on IMU
+    epochs (the reference's motion replay, train.py:204-215).  Output grads
+    are averaged over sequences (XLA lowers the mean to an all-reduce over
+    ICI).
     """
     axis = mesh.axis_names[0]
 
     def step(vo_variables, dn_params, batches, imu_wins, init_states,
-             rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias):
-        def one(batch, win, init):
+             rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
+             prev_motions):
+        def one(batch, win, init, t_il, g, ab, gb, sb, prev):
             return train_step(
                 vo_variables, dn_params, batch, win, init,
-                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
-                **static_kwargs)
+                t_il, g, ab, gb, sb, prev_motions=prev, **static_kwargs)
 
-        losses, grads, aux = jax.vmap(one)(batches, imu_wins, init_states)
+        losses, grads, aux = jax.vmap(one)(
+            batches, imu_wins, init_states, rgb2imu_pose, gravity,
+            accel_bias, gyro_bias, subtract_bias, prev_motions)
         loss = jnp.mean(losses)
         if grads is not None:
             grads = jax.tree_util.tree_map(
@@ -167,7 +178,9 @@ def multi_sequence_train_step(mesh: Mesh, **static_kwargs):
     return jax.jit(
         step,
         in_shardings=(repl, repl, data_sharding, data_sharding,
-                      data_sharding, repl, repl, repl, repl, repl),
+                      data_sharding, data_sharding, data_sharding,
+                      data_sharding, data_sharding, data_sharding,
+                      data_sharding),
         out_shardings=(repl, repl, data_sharding),
     )
 
@@ -177,7 +190,10 @@ def multi_sequence_train_scan(mesh: Mesh, **static_kwargs):
     runs K sequential windows as one lax.scan (on-device state carry + grad
     accumulation, islam_tpu.train.train_scan), vmapped over the sharded
     sequence axis — N x K windows per XLA program, the production scale-out
-    structure.  ``batches``/``imu_wins`` carry (N, K, ...) leading axes.
+    structure.  ``batches``/``imu_wins`` carry (N, K, ...) leading axes;
+    calibration constants are per-sequence (N-leading, sharded) and
+    ``prev_motions`` is None or (N, K, B, 7) — see
+    ``multi_sequence_train_step``.
 
     Returns (losses (N, K), grads summed over windows and averaged over
     sequences, aux with ``aux['carry']`` = per-sequence tail states, sharded).
@@ -185,14 +201,16 @@ def multi_sequence_train_scan(mesh: Mesh, **static_kwargs):
     axis = mesh.axis_names[0]
 
     def step(vo_variables, dn_params, batches, imu_wins, init_states,
-             rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias):
-        def one(batch, win, init):
+             rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
+             prev_motions):
+        def one(batch, win, init, t_il, g, ab, gb, sb, prev):
             return train_scan(
                 vo_variables, dn_params, batch, win, init,
-                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
-                **static_kwargs)
+                t_il, g, ab, gb, sb, prev_motions=prev, **static_kwargs)
 
-        losses, grads, aux = jax.vmap(one)(batches, imu_wins, init_states)
+        losses, grads, aux = jax.vmap(one)(
+            batches, imu_wins, init_states, rgb2imu_pose, gravity,
+            accel_bias, gyro_bias, subtract_bias, prev_motions)
         if grads is not None:
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.mean(g, axis=0), grads)
@@ -203,6 +221,8 @@ def multi_sequence_train_scan(mesh: Mesh, **static_kwargs):
     return jax.jit(
         step,
         in_shardings=(repl, repl, data_sharding, data_sharding,
-                      data_sharding, repl, repl, repl, repl, repl),
+                      data_sharding, data_sharding, data_sharding,
+                      data_sharding, data_sharding, data_sharding,
+                      data_sharding),
         out_shardings=(data_sharding, repl, data_sharding),
     )

@@ -8,10 +8,14 @@ replicated, and the per-epoch update averages gradients across sequences
 with a single ICI all-reduce.
 
 Production parity with the single-chip Trainer (islam_tpu/train.py):
-per-sequence trajectory snapshots (the reference's snapshot(),
-train.py:51-61), checkpoint save/resume with optimizer state, and a
-tail-chunk fallback so a non-dividing --scan-chunk reuses the per-window
-program instead of compiling a second scan program per tail length.
+the full alternating bi-level schedule (epoch -> vo / imu target with
+VO-motion replay on IMU epochs, reference train.py:151,204-215),
+PER-SEQUENCE calibration constants (T_BS, gravity, biases sharded with the
+batches — mixed-date KITTI drives differ), per-sequence trajectory
+snapshots (the reference's snapshot(), train.py:51-61), checkpoint
+save/resume with optimizer state, and a tail-chunk fallback so a
+non-dividing --scan-chunk reuses the per-window program instead of
+compiling a second scan program per tail length.
 """
 
 from __future__ import annotations
@@ -45,7 +49,8 @@ class MultiSequenceTrainer:
     """
 
     def __init__(self, datasets: List[Any], batch_size: int = 8,
-                 lr: float = 3e-6, loss_weight=(1., 0.1, 10., 0.1),
+                 lr: float = 3e-6, imu_lr: float = 3e-5,
+                 loss_weight=(1., 0.1, 10., 0.1),
                  rot_w: float = 1.0, trans_w: float = 0.1,
                  correct_scale: bool = False, bf16: bool = False,
                  mesh=None, vo_variables=None, dn_params=None):
@@ -56,6 +61,10 @@ class MultiSequenceTrainer:
         n = len(datasets)
         self.mesh = mesh if mesh is not None else make_mesh(n)
         assert len(self.mesh.devices.ravel()) == n
+        datatype = datasets[0].datatype
+        assert all(ds.datatype == datatype for ds in datasets), (
+            "datatype is a static compile-time config; mixed-datatype "
+            "sequence sets need one trainer per datatype")
 
         peek = datasets[0][0]
         h, w = peek["img0"].shape[0], peek["img0"].shape[1]
@@ -68,7 +77,7 @@ class MultiSequenceTrainer:
         self.imus = [IMUModule(
             ds.accels, ds.gyros, ds.imu_dts, ds.accel_bias, ds.gyro_bias,
             init=ds.imu_init, gravity=ds.gravity,
-            rgb2imu_sync=ds.rgb2imu_sync, denoise_params=None,
+            rgb2imu_sync=ds.rgb2imu_sync, denoise_params=dn_params,
             denoise_accel=True, denoise_gyro=(ds.datatype != "kitti"),
             batch_frames=batch_size) for ds in datasets]
         # All sequences must share the padded IMU window size (one program).
@@ -78,28 +87,47 @@ class MultiSequenceTrainer:
 
         self.opt = optax.adam(lr)
         self.opt_state = self.opt.init(vo_variables["params"]["flowPoseNet"])
+        if dn_params is not None:
+            # same default as the single-chip trainer / the reference's
+            # hard-coded denoiser lr (train.py:142)
+            self.imu_opt = optax.adam(imu_lr)
+            self.imu_opt_state = self.imu_opt.init(dn_params)
 
-        datatype = datasets[0].datatype
         self._static_kwargs = dict(
-            target="vo", datatype=datatype,
+            datatype=datatype,
             correct_scale=correct_scale,
             use_kitti_coord=(datatype != "tartanair"),
             denoise_accel=True, denoise_gyro=(datatype != "kitti"),
             loss_weight=tuple(float(x) for x in loss_weight),
             rot_w=rot_w, trans_w=trans_w, bf16=bf16)
-        self.step_fn = multi_sequence_train_step(
-            self.mesh, **self._static_kwargs)
-        self._scan_fn = None  # built on first scan_chunk use
+        self._step_fns = {}  # (target, scanned) -> compiled program
+        # alternating bi-level schedule, indexable by epoch (train.py:151)
+        self.train_target = [""] + ["vo", "imu"] * 100
+        self.prev_vo_motions = None  # (N, windows*B, 7) after a VO epoch
 
-        self._aux_consts = (
-            replicate(self.mesh, jnp.asarray(
-                np.asarray(datasets[0].rgb2imu_pose), jnp.float32)),
-            replicate(self.mesh, self.imus[0].gravity),
-            replicate(self.mesh, self.imus[0].accel_bias),
-            replicate(self.mesh, self.imus[0].gyro_bias),
-            replicate(self.mesh, jnp.asarray(False)),
-        )
+        # Per-sequence calibration constants, SHARDED like the batches:
+        # each sequence trains against its own dataset's T_BS / gravity /
+        # biases (KITTI drives from different dates differ; replicating
+        # sequence-0's would silently corrupt every other sequence).
+        self._aux_consts = tuple(
+            shard_batch(self.mesh, c) for c in (
+                _stack([jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32)
+                        for ds in datasets]),
+                _stack([m.gravity for m in self.imus]),
+                _stack([m.accel_bias for m in self.imus]),
+                _stack([m.gyro_bias for m in self.imus]),
+                _stack([jnp.asarray(m.optm_bias) for m in self.imus]),
+            ))
         self._init_states = [dict(ds.imu_init) for ds in datasets]
+
+    def _get_step_fn(self, target: str, scanned: bool):
+        key = (target, scanned)
+        if key not in self._step_fns:
+            build = (multi_sequence_train_scan if scanned
+                     else multi_sequence_train_step)
+            self._step_fns[key] = build(
+                self.mesh, target=(target or "none"), **self._static_kwargs)
+        return self._step_fns[key]
 
     def _window_inputs(self, start):
         """Collate window [start, start+B) of every sequence."""
@@ -115,6 +143,13 @@ class MultiSequenceTrainer:
     def run_epoch(self, scan_chunk: int = 0, epoch: int = 1,
                   snapshot_dir=None, snapshot_interval=None):
         """One epoch over all sequences in parallel.
+
+        ``epoch`` indexes the alternating bi-level schedule
+        (``self.train_target``, the reference's train.py:151): epoch 0 is
+        the gradient-free inference pass, odd epochs train the VO pose head,
+        even epochs train the IMU denoiser — with the VO forward replaced by
+        a replay of the previous VO epoch's cached motions
+        (train.py:204-215), per sequence.
 
         ``scan_chunk`` > 1 fuses that many sequential windows per sequence
         into one lax.scan program (multi_sequence_train_scan).  Only
@@ -132,9 +167,19 @@ class MultiSequenceTrainer:
 
         from islam_tpu.train import _TrajLogs
 
+        target = self.train_target[epoch]
+        if target == "imu" and self.dn_params is None:
+            raise ValueError(
+                "epoch {} targets the IMU denoiser but no dn_params were "
+                "given; pass dn_params= at construction".format(epoch))
+        N = len(self.datasets)
         n_batches = min(len(ds) for ds in self.datasets) // self.B
         grad_accum = None
         losses = []
+        epoch_motions = []  # (N, K, B, 7) blocks in window order
+        prev_np = None
+        if target not in ("vo", "") and self.prev_vo_motions is not None:
+            prev_np = np.asarray(self.prev_vo_motions)
         # per-epoch reset to the dataset init states (the reference's
         # init_epoch, train.py:195-196)
         inits_s = shard_batch(self.mesh, _stack([IMUState(
@@ -154,6 +199,7 @@ class MultiSequenceTrainer:
                 ip = np.asarray(aux["imu_poses"])
                 if m.ndim == 3:  # per-window (N, B, 7); scanned (N, K, B, 7)
                     m, pg, pv, ip = m[:, None], pg[:, None], pv[:, None], ip[:, None]
+                epoch_motions.append(m)
                 for s in range(len(self.datasets)):
                     for k in range(m.shape[1]):
                         trajs[s].extend(m[s, k], pg[s, k], pv[s, k], ip[s, k])
@@ -169,9 +215,7 @@ class MultiSequenceTrainer:
         bi = 0
         last_snap = 0
         if scan_chunk > 1:
-            if self._scan_fn is None:
-                self._scan_fn = multi_sequence_train_scan(
-                    self.mesh, **self._static_kwargs)
+            scan_fn = self._get_step_fn(target, scanned=True)
             K = scan_chunk
             while bi + K <= n_batches:
                 per_win = [self._window_inputs((bi + k) * self.B)
@@ -183,9 +227,14 @@ class MultiSequenceTrainer:
                 wins_s = shard_batch(self.mesh, _stack(
                     [_stack([per_win[k][1][s] for k in range(K)])
                      for s in range(len(self.datasets))]))
-                loss_nk, grads, aux = self._scan_fn(
+                prev = None
+                if prev_np is not None:
+                    prev = shard_batch(self.mesh, jnp.asarray(
+                        prev_np[:, bi * self.B:(bi + K) * self.B].reshape(
+                            N, K, self.B, 7)))
+                loss_nk, grads, aux = scan_fn(
                     self.vo_variables, self.dn_params, batches_s, wins_s,
-                    inits_s, *self._aux_consts)
+                    inits_s, *self._aux_consts, prev)
                 inits_s = aux["carry"]
                 pending.append(
                     {k: aux[k] for k in ("motions", "pgo_poses", "pgo_vels",
@@ -201,15 +250,22 @@ class MultiSequenceTrainer:
 
         # Per-window loop: everything when not scanned (bi == 0), the tail
         # remainder (n_batches % scan_chunk windows) when scanned -- on the
-        # program compiled at construction (self.step_fn), no new compile.
+        # cached per-window program for this target, no tail recompile.
+        step_fn = None
         for bi in range(bi, n_batches):
+            if step_fn is None:
+                step_fn = self._get_step_fn(target, scanned=False)
             batches, wins = self._window_inputs(bi * self.B)
             batches_s = shard_batch(self.mesh, _stack(batches))
             wins_s = shard_batch(self.mesh, _stack(wins))
+            prev = None
+            if prev_np is not None:
+                prev = shard_batch(self.mesh, jnp.asarray(
+                    prev_np[:, bi * self.B:(bi + 1) * self.B]))
 
-            loss, grads, aux = self.step_fn(
+            loss, grads, aux = step_fn(
                 self.vo_variables, self.dn_params, batches_s, wins_s,
-                inits_s, *self._aux_consts)
+                inits_s, *self._aux_consts, prev)
             losses.append(float(loss))
             if grads is not None:
                 grad_accum = grads if grad_accum is None else (
@@ -228,7 +284,9 @@ class MultiSequenceTrainer:
             {"pos": carry.pos[s], "rot": carry.rot[s], "vel": carry.vel[s]}
             for s in range(len(self.datasets))]
 
-        if grad_accum is not None:
+        # ONE optimizer update per epoch on the epoch's target
+        # (train.py:172-179), from the sequence-averaged accumulated grads.
+        if grad_accum is not None and target == "vo":
             params = self.vo_variables["params"]["flowPoseNet"]
             updates, self.opt_state = self.opt.update(
                 grad_accum, self.opt_state, params)
@@ -238,8 +296,18 @@ class MultiSequenceTrainer:
             out = dict(self.vo_variables)
             out["params"] = p
             self.vo_variables = out
+        elif grad_accum is not None and target == "imu":
+            updates, self.imu_opt_state = self.imu_opt.update(
+                grad_accum, self.imu_opt_state, self.dn_params)
+            self.dn_params = optax.apply_updates(self.dn_params, updates)
 
         save_snapshots()
+        flush()
+        # Cache this epoch's motions for the next IMU epoch's replay
+        # (train.py:204-215): (N, total_windows*B, 7).
+        if epoch_motions:
+            self.prev_vo_motions = np.concatenate(
+                [m.reshape(N, -1, 7) for m in epoch_motions], axis=1)
         return losses
 
     # ---- checkpointing (parity with Trainer.save_models/resume) ----
@@ -256,6 +324,8 @@ class MultiSequenceTrainer:
         if self.dn_params is not None:
             state["dn_params"] = jax.tree_util.tree_map(
                 np.asarray, self.dn_params)
+            state["imu_opt_state"] = jax.tree_util.tree_map(
+                np.asarray, self.imu_opt_state)
         return state
 
     def save_models(self, directory, epoch):
@@ -263,9 +333,11 @@ class MultiSequenceTrainer:
 
     def resume(self, directory, start_epoch):
         """Restore the most recent checkpoint before ``start_epoch``:
-        replicated parameters, optimizer state, and the per-sequence carry
-        states (so a resumed run continues each trajectory where the saved
-        epoch ended)."""
+        replicated parameters and optimizer state.  Per-sequence carry
+        states are checkpointed for inspection only — like the reference's
+        ``init_epoch`` (train.py:195-196), every epoch restarts each
+        trajectory from the dataset's init states, so the restored carries
+        are never consumed by training."""
         step = ckpt.latest_checkpoint_step(directory, start_epoch)
         if step is None:
             return None
@@ -280,6 +352,9 @@ class MultiSequenceTrainer:
                 jnp.asarray, state["opt_state"])
         if state.get("dn_params") is not None:
             self.dn_params = replicate(self.mesh, state["dn_params"])
+        if state.get("imu_opt_state") is not None:
+            self.imu_opt_state = jax.tree_util.tree_map(
+                jnp.asarray, state["imu_opt_state"])
         if state.get("seq_states") is not None:
             self._init_states = [
                 {k: np.asarray(v) for k, v in st.items()}

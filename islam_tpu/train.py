@@ -46,14 +46,14 @@ from islam_tpu.utils import checkpoints as ckpt
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
                      "rot_w", "trans_w", "bf16", "use_reproj",
-                     "concat_free"))
+                     "concat_free", "bilevel"))
 def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
                prev_motions=None, bf16=False, use_reproj=False,
-               concat_free=False):
+               concat_free=False, bilevel="detached"):
     """One imperative step over a window of B frame-pairs.
 
     batch: dict of device arrays (img0, img1, img0_norm, img0_r_norm,
@@ -62,6 +62,9 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
         window inputs from IMUModule.window_inputs.
     init_state: IMUState world init for this window.
     prev_motions: (B, 7) cached motions for replay epochs (target != 'vo').
+    bilevel: 'detached' (reference semantics, pvgo.py:146-168) or
+        'implicit'/'unrolled' — upper-level gradients flow THROUGH the LM
+        solve (IFT / unrolled iterations, the north-star alternatives).
 
     Returns (loss, grads, aux) where grads matches the trainable pytree of
     the target ('vo' -> flowPoseNet params, 'imu' -> denoiser params).
@@ -129,7 +132,7 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
             imu_poses, imu_vels, motions, links, dts,
             imu["drot"], imu["dpos"], imu["dvel"],
             radius=1e4, loss_weight=loss_weight, reproj=reproj,
-            target=target)
+            target=target, bilevel=bilevel)
 
         loss = jnp.sum(rot_w * rot_loss) + jnp.sum(trans_w * trans_loss)
         # Next-window init state computed IN-JIT (quaternion renorm,
@@ -199,14 +202,14 @@ def _merge_pose_params(variables, pose_params):
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
                      "rot_w", "trans_w", "bf16", "use_reproj",
-                     "concat_free"))
+                     "concat_free", "bilevel"))
 def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
                prev_motions=None, bf16=False, use_reproj=False,
-               concat_free=False):
+               concat_free=False, bilevel="detached"):
     """Fully-jitted chunk of K sequential windows (docs/TODO.md item 4).
 
     ``batches``/``imu_wins``/``prev_motions`` carry a leading (K, ...) window
@@ -231,7 +234,7 @@ def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
             use_kitti_coord=use_kitti_coord, denoise_accel=denoise_accel,
             denoise_gyro=denoise_gyro, loss_weight=loss_weight,
             rot_w=rot_w, trans_w=trans_w, prev_motions=prev, bf16=bf16,
-            use_reproj=use_reproj, concat_free=concat_free)
+            use_reproj=use_reproj, concat_free=concat_free, bilevel=bilevel)
         gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
         out_aux = {k: aux[k] for k in ("motions", "imu_poses", "imu_vels",
                                        "pgo_poses", "pgo_vels", "ok")}
@@ -470,7 +473,8 @@ class Trainer:
                 loss_weight=tuple(float(w) for w in args.loss_weight),
                 rot_w=args.rot_w, trans_w=args.trans_w,
                 prev_motions=prev, bf16=getattr(args, "bf16", False),
-                use_reproj=getattr(args, "reproj_points", 0) > 0)
+                use_reproj=getattr(args, "reproj_points", 0) > 0,
+                bilevel=getattr(args, "bilevel", "detached"))
             init_state = aux.pop("carry")
             pending.append(aux)
             if grads is not None:
@@ -531,7 +535,8 @@ class Trainer:
                 loss_weight=tuple(float(w) for w in args.loss_weight),
                 rot_w=args.rot_w, trans_w=args.trans_w,
                 prev_motions=prev, bf16=getattr(args, "bf16", False),
-                use_reproj=getattr(args, "reproj_points", 0) > 0)
+                use_reproj=getattr(args, "reproj_points", 0) > 0,
+                bilevel=getattr(args, "bilevel", "detached"))
 
             if profiling:
                 jax.block_until_ready(loss)

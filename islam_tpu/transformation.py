@@ -19,74 +19,36 @@ from islam_tpu.lie import SE3
 
 
 # ---------------------------------------------------------------------------
-# Host-side (numpy/scipy) helpers, mirroring transformation.py:9-67
+# Host-side GT-motion preparation
 # ---------------------------------------------------------------------------
 
-def line2mat(line_data: np.ndarray) -> np.ndarray:
-    mat = np.eye(4)
-    mat[0:3, :] = line_data.reshape(3, 4)
-    return mat
+def relative_twists(poses: np.ndarray, links=None, skip: int = 0) -> np.ndarray:
+    """Ground-truth pose rows -> relative motion twists, fully vectorized.
 
+    ``poses``: (N, 7) rows of [pos(3), quat(x, y, z, w)].
+    ``links``: (L, 2) frame-index pairs; defaults to consecutive pairs with
+    ``skip`` intermediate frames skipped.
 
-def pose2motion(data: np.ndarray, skip: int = 0, links=None) -> np.ndarray:
-    """GT pose rows (N, 12) -> relative motions (L, 12)."""
+    Returns (L, 6) rows of [trans(3), rotvec(3)] where, for a link (i, j),
+
+        trans  = R_i^T (p_j - p_i)          (translation in frame i)
+        rotvec = Log(R_i^T R_j)
+
+    i.e. the se(3)-style [t, phi] parameterization the datasets feed as GT
+    motion (the reference prepares the same quantity through a chain of
+    per-row 4x4 matrix loops, Datasets/transformation.py:9-67; one batched
+    scipy Rotation pass replaces all of it).
+    """
+    poses = np.asarray(poses)
     if links is None:
-        links = [(i, i + skip + 1) for i in range(data.shape[0] - skip - 1)]
-    all_motion = np.zeros((len(links), 12))
-    for i, l in enumerate(links):
-        pose_curr = line2mat(data[l[0], :])
-        pose_next = line2mat(data[l[1], :])
-        motion = np.linalg.inv(pose_curr) @ pose_next
-        all_motion[i, :] = motion[0:3, :].reshape(12)
-    return all_motion
-
-
-def SO2so(SO_data):
-    return R.from_matrix(SO_data).as_rotvec()
-
-
-def so2SO(so_data):
-    return R.from_rotvec(so_data).as_matrix()
-
-
-def SE2se(SE_data: np.ndarray) -> np.ndarray:
-    result = np.zeros(6)
-    result[0:3] = np.asarray(SE_data)[0:3, 3]
-    result[3:6] = SO2so(np.asarray(SE_data)[0:3, 0:3])
-    return result
-
-
-def se2SE(se_data: np.ndarray) -> np.ndarray:
-    result_mat = np.eye(4)
-    result_mat[0:3, 0:3] = so2SO(se_data[3:6])
-    result_mat[0:3, 3] = se_data[0:3]
-    return result_mat
-
-
-def SEs2ses(motion_data: np.ndarray) -> np.ndarray:
-    data_size = motion_data.shape[0]
-    ses = np.zeros((data_size, 6))
-    for i in range(data_size):
-        SE = np.eye(4)
-        SE[0:3, :] = motion_data[i, :].reshape(3, 4)
-        ses[i, :] = SE2se(SE)
-    return ses
-
-
-def pos_quat2SE(quat_data: np.ndarray) -> np.ndarray:
-    SO = R.from_quat(quat_data[3:7]).as_matrix()
-    SE = np.eye(4)
-    SE[0:3, 0:3] = SO
-    SE[0:3, 3] = quat_data[0:3]
-    return SE[0:3, :].reshape(1, 12)
-
-
-def pos_quats2SEs(quat_datas: np.ndarray) -> np.ndarray:
-    data_len = quat_datas.shape[0]
-    SEs = np.zeros((data_len, 12))
-    for i_data in range(data_len):
-        SEs[i_data, :] = pos_quat2SE(quat_datas[i_data, :])
-    return SEs
+        links = [(i, i + skip + 1) for i in range(poses.shape[0] - skip - 1)]
+    links = np.asarray(links)
+    i, j = links[:, 0], links[:, 1]
+    rots = R.from_quat(poses[:, 3:7])
+    inv_i = rots[i].inv()
+    trans = inv_i.apply(poses[j, :3] - poses[i, :3])
+    rotvec = (inv_i * rots[j]).as_rotvec()
+    return np.concatenate([trans, rotvec], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -6,10 +6,17 @@ ATE of the raw-VO and PVGO trajectories -- the reference's headline result is
 that imperative iterations reduce VO ATE (README.md:15,33).
 
 Usage: python scripts/demo_imperative.py [epochs] [lr] [--f32]
+           [--bilevel=detached|implicit|unrolled]
 
 ``--f32`` runs the conv stack in float32 instead of the default bfloat16 --
 used for the bf16 end-to-end accuracy study (docs/RESULTS.md): identical
 data and init, only the compute dtype differs.
+
+``--bilevel=...`` selects the coupling through the PVGO solve (detached =
+reference semantics; implicit = IFT; unrolled = backprop through LM
+iterations) -- used for the bi-level mode comparison study
+(docs/RESULTS.md): identical data and init, only the upper-level gradient
+path differs.
 """
 
 import json
@@ -31,6 +38,8 @@ def main():
     epochs = int(pos[0]) if pos else 8
     lr = float(pos[1]) if len(pos) > 1 else 1e-4
     use_bf16 = "--f32" not in sys.argv
+    bilevel = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                    if a.startswith("--bilevel=")), "detached")
 
     ds = testing.make_dataset(num_frames=33, height=448, width=640)
 
@@ -48,6 +57,7 @@ def main():
         print_interval = 0
 
     Args.lr = lr
+    Args.bilevel = bilevel
     trainer = Trainer(Args(), ds)
 
     history = []
@@ -62,6 +72,7 @@ def main():
         gt = ds.poses[:n]
         rec = {
             "epoch": epoch,
+            "bilevel": bilevel,
             "target": trainer.train_target[epoch],
             "ate_vo": round(ate_rmse(vo[:n], gt), 6),
             "ate_pgo": round(ate_rmse(pgo, gt), 6),

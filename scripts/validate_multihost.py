@@ -78,14 +78,16 @@ def child(pid: int, port: int) -> None:
         use_kitti_coord=True, denoise_accel=True, denoise_gyro=False,
         loss_weight=(1.0, 0.1, 10.0, 0.1), rot_w=1.0, trans_w=0.1)
 
+    # Per-sequence calibration rows, assembled from each host's local
+    # sequences exactly like the batches (identical values here).
+    n_local = len(range(N_SEQ)[own])
+    consts = tuple(
+        global_shard_batch(mesh, stack([c] * n_local)) for c in (
+            jnp.asarray(np.asarray(ds0.rgb2imu_pose), jnp.float32),
+            imu0.gravity, imu0.accel_bias, imu0.gyro_bias,
+            np.asarray(False)))
     loss, grads, _aux = step(
-        vo_variables, dn_params, batches, wins, inits,
-        global_replicate(mesh, jnp.asarray(np.asarray(ds0.rgb2imu_pose),
-                                           jnp.float32)),
-        global_replicate(mesh, imu0.gravity),
-        global_replicate(mesh, imu0.accel_bias),
-        global_replicate(mesh, imu0.gyro_bias),
-        global_replicate(mesh, np.asarray(False)))
+        vo_variables, dn_params, batches, wins, inits, *consts, None)
 
     lv = float(loss)  # replicated output: addressable on every process
     assert np.isfinite(lv), lv

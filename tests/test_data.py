@@ -8,7 +8,9 @@ import pytest
 from islam_tpu.data.transforms import (Compose, CropCenter, DownscaleFlow,
                                        Normalize, ToNHWCTensor)
 
-RNG = np.random.default_rng(51)
+from tests.rng_helpers import PerTestRNG
+
+RNG = PerTestRNG(51)
 MEAN = [0.485, 0.456, 0.406]
 STD = [0.229, 0.224, 0.225]
 

@@ -6,7 +6,9 @@ from scipy.spatial.transform import Rotation as R
 
 from islam_tpu.utils.evaluation import ate_rmse, rpe, umeyama_alignment
 
-RNG = np.random.default_rng(41)
+from tests.rng_helpers import PerTestRNG
+
+RNG = PerTestRNG(41)
 
 
 class TestMetrics:

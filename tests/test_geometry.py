@@ -14,7 +14,9 @@ from islam_tpu.ops.geometry import (edge_mask, intrinsics_matrix,
 from islam_tpu.transformation import (motion2pose, pose2motion_se3,
                                       tartan2kitti, cvt_se3)
 
-RNG = np.random.default_rng(11)
+from tests.rng_helpers import PerTestRNG
+
+RNG = PerTestRNG(11)
 
 
 class TestProjection:
@@ -251,6 +253,36 @@ class TestCannyMaskDelta:
 
 
 class TestTrajectoryChains:
+    def test_relative_twists_matches_matrix_oracle(self):
+        """Vectorized GT-motion prep == per-link 4x4 matrix algebra
+        (inv(T_i) @ T_j decomposed to [trans, rotvec])."""
+        from scipy.spatial.transform import Rotation as SR
+
+        from islam_tpu.transformation import relative_twists
+
+        n = 9
+        pos = RNG.normal(size=(n, 3))
+        quat = SR.random(n, random_state=5).as_quat()
+        poses = np.concatenate([pos, quat], axis=1)
+        links = [(0, 1), (2, 5), (7, 3), (4, 4)]
+        got = relative_twists(poses, links=links)
+        for k, (i, j) in enumerate(links):
+            Ti, Tj = np.eye(4), np.eye(4)
+            Ti[:3, :3] = SR.from_quat(quat[i]).as_matrix()
+            Ti[:3, 3] = pos[i]
+            Tj[:3, :3] = SR.from_quat(quat[j]).as_matrix()
+            Tj[:3, 3] = pos[j]
+            M = np.linalg.inv(Ti) @ Tj
+            np.testing.assert_allclose(got[k, :3], M[:3, 3], atol=1e-10)
+            np.testing.assert_allclose(
+                got[k, 3:], SR.from_matrix(M[:3, :3]).as_rotvec(),
+                atol=1e-10)
+        # default consecutive links with skip
+        got2 = relative_twists(poses, skip=1)
+        assert got2.shape == (n - 2, 6)
+        np.testing.assert_allclose(
+            got2[0], relative_twists(poses, links=[(0, 2)])[0], atol=1e-12)
+
     def test_motion2pose_pose2motion_roundtrip(self):
         xi = jnp.asarray(RNG.normal(size=(10, 6)) * 0.2, jnp.float32)
         motions = SE3(lie.se3_exp(xi))

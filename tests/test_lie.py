@@ -11,7 +11,9 @@ from islam_tpu.lie import SE3, SO3
 
 jax.config.update("jax_enable_x64", False)
 
-RNG = np.random.default_rng(0)
+from tests.rng_helpers import PerTestRNG
+
+RNG = PerTestRNG(0)
 
 
 def rand_quat(n):

@@ -7,7 +7,9 @@ import numpy as np
 from islam_tpu.ops.correlation import correlation_reference
 from islam_tpu.ops.pallas.correlation_kernel import correlation_pallas
 
-RNG = np.random.default_rng(21)
+from tests.rng_helpers import PerTestRNG
+
+RNG = PerTestRNG(21)
 
 
 class TestPallasCorrelation:

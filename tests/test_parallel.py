@@ -144,6 +144,138 @@ class TestMultiSequenceTrainerProduction:
         assert all(np.isfinite(l) for l in losses)
 
 
+class _Args:
+    """Minimal single-chip Trainer args (mirrors tests/test_train_e2e.py)."""
+    batch_size = 2
+    lr = 3e-6
+    vo_optimizer = "adam"
+    vo_model_name = ""
+    pose_model_name = ""
+    imu_denoise_model_name = ""
+    loss_weight = (1.0, 0.1, 10.0, 0.1)
+    rot_w = 1.0
+    trans_w = 0.1
+    use_gt_scale = False
+
+
+class TestMultiSequenceImperative:
+    """Round-4 contract: the mesh trainer runs the FULL imperative bi-level
+    loop — per-epoch vo/imu target alternation with VO-motion replay
+    (reference train.py:151,204-215) and PER-SEQUENCE calibration constants
+    — matching independent single-chip Trainers."""
+
+    def test_per_sequence_calibrations_match_single_chip(self, tmp_path):
+        """2 sequences with DIFFERENT rgb2imu extrinsics / gravity / accel
+        bias: each mesh-trainer trajectory must match a single-chip Trainer
+        run on that sequence alone with its own calibration (one VO epoch;
+        the optimizer step lands after the epoch, so per-window forwards are
+        param-identical across the two setups)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        n = 2
+        datasets = [testing.make_dataset(num_frames=5, height=64, width=128,
+                                         seed=s) for s in range(n)]
+        # sequence 1 gets a distinct calibration (a real KITTI multi-drive
+        # situation: different dates -> different T_BS / biases)
+        datasets[1].rgb2imu_pose = np.asarray(
+            [0.1, -0.05, 0.2, 0.0, 0.0, 0.1736482, 0.9848078], np.float32)
+        datasets[1].gravity = 9.5
+        datasets[1].accel_bias = np.asarray([0.05, -0.02, 0.01], np.float32)
+
+        multi = MultiSequenceTrainer(datasets, batch_size=2, lr=3e-6,
+                                     mesh=make_mesh(n))
+        snap = tmp_path / "multi"
+        losses = multi.run_epoch(epoch=1, snapshot_dir=str(snap))
+        assert all(np.isfinite(l) for l in losses)
+
+        from islam_tpu.train import Trainer
+
+        for s, ds in enumerate(datasets):
+            single = Trainer(_Args(), ds)
+            traj = single.run_epoch(1)
+            got = np.loadtxt(snap / f"seq{s}" / "1" / "pgo_pose.txt")
+            want = np.stack(traj.pgo_poses)
+            np.testing.assert_allclose(
+                got, want, atol=1e-3,
+                err_msg=f"sequence {s} trajectory diverged from the "
+                        "single-chip trainer with its own calibration")
+
+        # The fix is observable: running sequence 1's DATA under sequence
+        # 0's calibration (the pre-fix replication bug) gives a different
+        # trajectory.  Reuses the already-compiled single-chip program —
+        # calibration is a traced input, not a static config.
+        ds1_wrong = testing.make_dataset(num_frames=5, height=64, width=128,
+                                         seed=1)
+        wrong = Trainer(_Args(), ds1_wrong).run_epoch(1)
+        got1 = np.loadtxt(snap / "seq1" / "1" / "pgo_pose.txt")
+        assert not np.allclose(got1, np.stack(wrong.pgo_poses), atol=1e-3), (
+            "seq-1 trajectory is insensitive to its calibration; the "
+            "per-sequence constants are not reaching the step")
+
+    def test_alternating_epochs_match_single_chip(self):
+        """Epochs 1 (vo) + 2 (imu with motion replay) on N identical
+        sequences must reproduce a single-chip Trainer bit-for-bit up to
+        cross-program float drift: identical sequences make the
+        sequence-mean gradient equal each sequence's own, so parameters,
+        denoiser updates, and the replay cache all have single-chip
+        ground truth."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        from islam_tpu.imu import denoiser as dn
+        from islam_tpu.train import Trainer
+
+        n = 2
+        datasets = [testing.make_dataset(num_frames=5, height=64, width=128,
+                                         seed=0) for _ in range(n)]
+        dn_params = dn.init_params(jax.random.PRNGKey(1))
+        multi = MultiSequenceTrainer(datasets, batch_size=2, lr=3e-6,
+                                     mesh=make_mesh(n), dn_params=dn_params)
+
+        single = Trainer(_Args(), datasets[0])
+        single.dn_params = dn_params
+        single.imu_module.denoise_params = dn_params
+        import optax
+        single.imu_opt = optax.adam(3e-5)
+        single.imu_opt_state = single.imu_opt.init(dn_params)
+
+        multi.run_epoch(epoch=1)  # vo
+        single.run_epoch(1)
+        assert multi.prev_vo_motions.shape == (n, 4, 7)
+        for s in range(n):
+            np.testing.assert_allclose(
+                multi.prev_vo_motions[s],
+                single.prev_vo_motions, atol=1e-4,
+                err_msg="VO epoch motion cache diverged")
+
+        cache_before = multi.prev_vo_motions.copy()
+        dn_before = jax.tree_util.tree_leaves(multi.dn_params)[0].copy()
+        multi.run_epoch(epoch=2)  # imu: replay, no VO forward
+        single.run_epoch(2)
+
+        # replay exactness: IMU epochs must pass the cached motions through
+        # untouched (stop_gradient'ed), proving the VO forward was skipped
+        np.testing.assert_array_equal(
+            multi.prev_vo_motions, cache_before,
+            err_msg="IMU epoch altered the motion cache; replay is broken")
+        # the denoiser trained
+        dn_after = jax.tree_util.tree_leaves(multi.dn_params)[0]
+        assert float(jnp.sum(jnp.abs(dn_after - dn_before))) > 0
+        # and matches the single-chip denoiser update (adam step size 3e-5
+        # bounds the worst-case cross-program drift to ~2*lr per param)
+        for a, b in zip(jax.tree_util.tree_leaves(multi.dn_params),
+                        jax.tree_util.tree_leaves(single.dn_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+        # vo params match too (lr 3e-6)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(
+                    multi.vo_variables["params"]["flowPoseNet"]),
+                jax.tree_util.tree_leaves(
+                    single.vo_variables["params"]["flowPoseNet"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
 class TestMultiHostHelpers:
     def test_global_mesh_single_process(self):
         from islam_tpu.parallel.mesh import make_global_mesh

@@ -14,15 +14,20 @@ from islam_tpu.pvgo.pypose_replica import pypose_lm_replica, retract_nodes
 from islam_tpu.pvgo.run import run_pvgo
 from islam_tpu.transformation import motion2pose, pose2motion_se3
 
-RNG = np.random.default_rng(7)
 B = 8
 
 
-def make_problem(noise=0.0):
-    """Ground-truth chain + consistent measurements (+ optional VO noise)."""
+def make_problem(noise=0.0, seed=7):
+    """Ground-truth chain + consistent measurements (+ optional VO noise).
+
+    Fully determined by (noise, seed): the problem instance cannot depend on
+    test execution order (round-3 review: a module-level RNG here made the
+    MINPACK cross-check tolerances order-dependent).
+    """
+    rng = np.random.default_rng(seed)
     # GT: smooth forward motion with slight rotation
     xi = np.tile(np.asarray([[0.5, 0.02, -0.01, 0.01, 0.03, 0.005]]), (B, 1))
-    xi += RNG.normal(size=(B, 6)) * 0.01
+    xi += rng.normal(size=(B, 6)) * 0.01
     gt_motions = SE3(lie.se3_exp(jnp.asarray(xi, jnp.float32)))
     gt_poses = motion2pose(gt_motions)
     dts = np.full((B,), 0.1, np.float32)
@@ -39,7 +44,7 @@ def make_problem(noise=0.0):
     imu_dvels = gt_vels[1:] - gt_vels[:-1]
     imu_dtrans = (trans[1:] - trans[:-1]) - gt_vels[:-1] * dts[:, None]
 
-    vo_noise = RNG.normal(size=(B, 6)) * noise
+    vo_noise = rng.normal(size=(B, 6)) * noise
     vo_motions = SE3(lie.se3_mul(
         gt_motions.data, lie.se3_exp(jnp.asarray(vo_noise, jnp.float32))))
 
@@ -54,8 +59,9 @@ def make_problem(noise=0.0):
 class TestRunPVGO:
     def test_recovers_gt_from_perturbed_init(self):
         p = make_problem(noise=0.0)
+        rng = np.random.default_rng(70)
         init_nodes = np.asarray(p["gt_poses"].data).copy()
-        init_nodes[1:, :3] += RNG.normal(size=(B, 3)).astype(np.float32) * 0.05
+        init_nodes[1:, :3] += rng.normal(size=(B, 3)).astype(np.float32) * 0.05
         trans_loss, rot_loss, nodes, vels, covs = run_pvgo(
             jnp.asarray(init_nodes), jnp.asarray(p["gt_vels"]),
             p["vo_motions"], p["links"], p["dts"],
@@ -258,7 +264,7 @@ class TestPyPoseParity:
 
     def _run_pair(self, noise, seed):
         rng = np.random.default_rng(seed)
-        p = make_problem(noise=noise)
+        p = make_problem(noise=noise, seed=20 + seed)
         init_nodes, init_vels = _perturbed_init(p, rng)
 
         res_np, jac_np = _np_residual_builder(p, WEIGHTS)
@@ -368,7 +374,7 @@ class TestScipyLMCrossCheck:
 
         for noise, seed in [(0.0, 10), (0.02, 11), (0.05, 12)]:
             rng = np.random.default_rng(seed)
-            p = make_problem(noise=noise)
+            p = make_problem(noise=noise, seed=seed)
             init_nodes, init_vels = _perturbed_init(p, rng)
             res_np, _ = _np_residual_builder(p, WEIGHTS)
             N = init_nodes.shape[0]
@@ -417,8 +423,24 @@ class TestScipyLMCrossCheck:
             np.testing.assert_allclose(
                 dots, 1.0, atol=1e-8,
                 err_msg=f"node rotations (noise={noise})")
-            # velocities see the flattest cost directions; both solvers stop
-            # within ~1e-4 of the shared fixed point
+            # Velocities span the flattest cost directions, so a raw atol is
+            # problem-dependent (round-3 review: 1e-4 failed on some draws).
+            # The principled contract is the shared FIXED POINT: replacing
+            # MINPACK's velocities with ours at its own solution must not
+            # move the cost beyond the cost-agreement tolerance.  (A loose
+            # raw bound stays as a sanity net against gross divergence.)
             np.testing.assert_allclose(
-                vels_j_a, vels_s_a, atol=1e-4,
-                err_msg=f"velocities (noise={noise})")
+                vels_j_a, vels_s_a, atol=1e-2,
+                err_msg=f"velocities sanity (noise={noise})")
+            cost_swap = float(np.sum(
+                res_np(nodes_s_a, vels_j_a) ** 2))
+            cost_s_a = float(np.sum(res_np(nodes_s_a, vels_s_a) ** 2))
+            # Bound: both solvers stop on ~1e-3 relative-decrease criteria
+            # (plateau decreasing=1e-3 / MINPACK ftol), so each solution's
+            # cost is only pinned to that resolution; a velocity gap that
+            # moves the cost <= 1e-4 rel is flat by comparison (measured
+            # ~6e-5 rel at noise=0.02), while a genuine divergence moves it
+            # by percents.
+            assert abs(cost_swap - cost_s_a) <= 1e-4 * max(cost_s_a, 1e-12), (
+                f"velocity discrepancy is not cost-flat (noise={noise}): "
+                f"swap={cost_swap} minpack={cost_s_a}")

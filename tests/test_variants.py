@@ -6,7 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-RNG = np.random.default_rng(31)
+from tests.rng_helpers import PerTestRNG
+
+RNG = PerTestRNG(31)
 
 
 class TestMulticamVOFlow:
@@ -88,13 +90,32 @@ class TestQuarterStereoHead:
         full = StereoNet7(train_bn=True)  # train-mode BN keeps the untrained
         # activations O(1); eval-mode fresh stats blow up to ~1e7
         variables = full.init(jax.random.PRNGKey(2), x)
+        quarter = StereoNet7(train_bn=True, quarter_output=True)
         out_full, _ = full.apply(variables, x, mutable=["batch_stats"])[0]
-        out_q, _ = StereoNet7(train_bn=True, quarter_output=True).apply(
-            variables, x, mutable=["batch_stats"])[0]
+        out_q, _ = quarter.apply(variables, x, mutable=["batch_stats"])[0]
         assert out_q.shape == (1, 16, 32, 1)
-        np.testing.assert_allclose(np.asarray(out_q),
-                                   np.asarray(out_full[:, ::4, ::4]),
-                                   rtol=1e-5, atol=1e-5)
+        # Scale-aware tolerance: an untrained net's head activations can be
+        # O(1e5) for some draws; absolute 1e-5 is meaningless there.
+        ref = np.asarray(out_full[:, ::4, ::4])
+        scale = max(1.0, float(np.abs(ref).max()))
+        np.testing.assert_allclose(np.asarray(out_q), ref,
+                                   rtol=1e-4, atol=1e-6 * scale)
+
+        # Gradient path: the quarter head computes exactly the sampled
+        # outputs, so grads of any function of full[::4, ::4] must match.
+        def loss(v, model, sample):
+            out, _ = model.apply(v, x, mutable=["batch_stats"])[0]
+            if sample:
+                out = out[:, ::4, ::4]
+            return jnp.sum(out) / scale
+
+        g_full = jax.grad(loss)(variables, full, True)["params"]
+        g_q = jax.grad(loss)(variables, quarter, False)["params"]
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_q)):
+            a, b = np.asarray(a), np.asarray(b)
+            gs = max(1.0, float(np.abs(a).max()))
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * gs)
 
     def test_convt2d_out_stride_general(self):
         """ConvT2d(out_stride=n) == full transposed conv sampled [::n, ::n],
@@ -111,6 +132,22 @@ class TestQuarterStereoHead:
             np.testing.assert_allclose(np.asarray(y_n),
                                        np.asarray(y_full[:, ::n, ::n]),
                                        atol=1e-5)
+
+    def test_convt2d_out_stride_right_pad(self):
+        """k=3, s=2, p=1: the last subsampled output reads a tap from the
+        transposed conv's RIGHT pad region — the lowering must zero-pad
+        right, not just left (round-3 advisor finding)."""
+        from islam_tpu.models.layers import ConvT2d
+
+        rng = np.random.default_rng(32)
+        a = jnp.asarray(rng.normal(size=(2, 9, 13, 5)), jnp.float32)
+        m_full = ConvT2d(6, 3, 2, 1)
+        variables = m_full.init(jax.random.PRNGKey(4), a)
+        y_full = m_full.apply(variables, a)
+        y_2 = ConvT2d(6, 3, 2, 1, out_stride=2).apply(variables, a)
+        np.testing.assert_allclose(np.asarray(y_2),
+                                   np.asarray(y_full[:, ::2, ::2]),
+                                   atol=1e-5)
 
 
 class TestResizeFastPaths:
