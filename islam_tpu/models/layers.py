@@ -156,16 +156,20 @@ class ConvT2d(nn.Module):
             ke = len(taps)
             st = os_ // s
             pb = max(0, -((taps[0] - pad) // s))  # left zero-pad
-            off = (taps[-1] - pad) // s  # rightmost tap's input offset
             kernel = kernel[t0::s, t0::s]
 
             def conv_one(q, kp):
-                n_out = (q.shape[1] * s // os_, q.shape[2] * s // os_)
-                # Right zero-pad mirrors pb: the last subsampled output may
-                # read taps from the transposed conv's right pad region
-                # (e.g. k=3, s=2, p=1, out_stride=2); without it the conv
-                # would come up short of full_output[::n].
-                pr = tuple(max(0, st * (n - 1) + off - (sz + pb - 1))
+                # True transposed-conv output size is (in-1)*s - 2p + k;
+                # the subsampled head keeps ceil(full/os) rows/cols.  (The
+                # earlier in*s//os shortcut over-counts when 2p > k - s.)
+                n_out = tuple(-(-((sz - 1) * s - 2 * p + k) // os_)
+                              for sz in q.shape[1:3])
+                # Right zero-pad: the last output's window spans padded
+                # positions [st*(n-1), st*(n-1)+ke), so the padded length
+                # pb+sz+pr must reach st*(n-1)+ke (e.g. k=5, s=2, p=2,
+                # out_stride=2 genuinely needs pr=1); without it the conv
+                # comes up short of full_output[::n].
+                pr = tuple(max(0, st * (n - 1) + ke - pb - sz)
                            for n, sz in zip(n_out, q.shape[1:3]))
                 y = jax.lax.conv_general_dilated(
                     q.astype(dt), kp.astype(dt),

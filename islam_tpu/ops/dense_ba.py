@@ -33,8 +33,27 @@ def _proj_with_mask(x):
     return p, mask[..., 0]
 
 
+@jax.tree_util.register_pytree_node_class
 class DenseReprojectionLoss:
-    """dense_ba.py:179-273.  depth (B,H,W), flow (B,2,H,W), mask (B,H,W)."""
+    """dense_ba.py:179-273.  depth (B,H,W), flow (B,2,H,W), mask (B,H,W).
+
+    Pytree-registered so the loss can travel inside the implicit-mode
+    ``theta`` (pvgo/run.py): custom_vjp functions may not close over
+    tracers, so every traced value — including these captured depth/flow
+    tensors — must arrive as a formal argument of the residual."""
+
+    _TREE_FIELDS = ("z", "flow", "mask", "rgb2imu_pose", "uv", "uv1",
+                    "K", "K_inv")
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._TREE_FIELDS), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        for f, c in zip(cls._TREE_FIELDS, children):
+            setattr(obj, f, c)
+        return obj
 
     def __init__(self, depth, flow, fx, fy, cx, cy, mask, rgb2imu_pose):
         self.z = jnp.asarray(depth)
@@ -69,8 +88,25 @@ class DenseReprojectionLoss:
             jnp.sum(mf, axis=(1, 2)), 1.0)
 
 
+@jax.tree_util.register_pytree_node_class
 class SparseReprojectionLoss:
-    """dense_ba.py:276-305.  points2d (B,N,2), depth (B,H,W), flow (B,2,H,W)."""
+    """dense_ba.py:276-305.  points2d (B,N,2), depth (B,H,W), flow (B,2,H,W).
+
+    Pytree-registered for the same implicit-mode reason as
+    DenseReprojectionLoss; the keypoint count N is static aux data."""
+
+    _TREE_FIELDS = ("K", "point3d", "target", "rgb2imu_pose")
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._TREE_FIELDS), self.N
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.N = aux
+        for f, c in zip(cls._TREE_FIELDS, children):
+            setattr(obj, f, c)
+        return obj
 
     def __init__(self, points2d, depth, flow, fx, fy, cx, cy, rgb2imu_pose):
         points2d = jnp.asarray(points2d)

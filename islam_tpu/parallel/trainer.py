@@ -87,6 +87,7 @@ class MultiSequenceTrainer:
 
         self.opt = optax.adam(lr)
         self.opt_state = self.opt.init(vo_variables["params"]["flowPoseNet"])
+        self._imu_lr = imu_lr
         if dn_params is not None:
             # same default as the single-chip trainer / the reference's
             # hard-coded denoiser lr (train.py:142)
@@ -214,7 +215,13 @@ class MultiSequenceTrainer:
 
         bi = 0
         last_snap = 0
-        if scan_chunk > 1:
+        # Same guard as the single-chip trainer (train.py): the scan
+        # program accumulates grads with tree_map(add, ...), which assumes
+        # a trainable target — epoch 0 ('' / inference) with a denoiser
+        # present would pass trainable=dn_params into a grads=None step and
+        # crash at trace time.  Inference epochs fall through to the
+        # per-window step below.
+        if scan_chunk > 1 and target in ("vo", "imu"):
             scan_fn = self._get_step_fn(target, scanned=True)
             K = scan_chunk
             while bi + K <= n_batches:
@@ -345,6 +352,19 @@ class MultiSequenceTrainer:
         stored = ckpt.checkpoint_top_keys(directory, step)
         if stored is not None:
             template = {k: v for k, v in template.items() if k in stored}
+            if "dn_params" in stored and "dn_params" not in template:
+                # The checkpoint carries a denoiser this trainer was
+                # constructed without; widen the restore template (the
+                # denoiser architecture is fixed, so a fresh init provides
+                # the pytree structure) instead of silently dropping it.
+                from islam_tpu.imu import denoiser as dn
+                tpl_dn = jax.tree_util.tree_map(
+                    np.asarray, dn.init_params(jax.random.PRNGKey(0)))
+                template["dn_params"] = tpl_dn
+                if "imu_opt_state" in stored:
+                    import optax
+                    template["imu_opt_state"] = jax.tree_util.tree_map(
+                        np.asarray, optax.adam(self._imu_lr).init(tpl_dn))
         state = ckpt.restore_checkpoint(directory, step, template)
         self.vo_variables = replicate(self.mesh, state["vo_variables"])
         if state.get("opt_state") is not None:
@@ -352,6 +372,15 @@ class MultiSequenceTrainer:
                 jnp.asarray, state["opt_state"])
         if state.get("dn_params") is not None:
             self.dn_params = replicate(self.mesh, state["dn_params"])
+            if not hasattr(self, "imu_opt"):
+                # The checkpoint carries a denoiser this trainer was
+                # constructed without: build the IMU optimizer now so the
+                # next IMU epoch can update (round-4 advisor — previously
+                # the dn_params-is-None guard passed and the epoch crashed
+                # at self.imu_opt.update with AttributeError).
+                import optax
+                self.imu_opt = optax.adam(self._imu_lr)
+                self.imu_opt_state = self.imu_opt.init(state["dn_params"])
         if state.get("imu_opt_state") is not None:
             self.imu_opt_state = jax.tree_util.tree_map(
                 jnp.asarray, state["imu_opt_state"])

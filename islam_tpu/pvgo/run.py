@@ -106,18 +106,31 @@ def run_pvgo(init_nodes, init_vels, vo_motions, links, dts,
             "dtrans": sg(imu_dtrans), "dvels": imu_dvels_grad,
             "links": links, "dts": dts_d,
             "w": jnp.stack([w[0], w[1], w[2], w[3]]),
+            # The optional reprojection factor rides inside theta too
+            # (the loss objects are pytree-registered for exactly this):
+            # round-4 advisor — omitting it made --bilevel implicit +
+            # --reproj-points silently solve a DIFFERENT lower-level
+            # objective than detached mode.
+            "reproj": reproj,
+            "w4": (jnp.asarray(loss_weight[4], init_vels.dtype)
+                   if len(loss_weight) > 4 else jnp.asarray(1.0)),
         }
 
         def residual_theta(nodes_, vels_, th):
             pgerr, adjvelerr, imuroterr, transvelerr = G.pvgo_residuals(
                 nodes_, vels_, th["links"], th["poses"], th["drots"],
                 th["dtrans"], th["dvels"], th["dts"])
-            return jnp.concatenate([
+            blocks = [
                 (pgerr * th["w"][0]).reshape(-1),
                 (adjvelerr * th["w"][1]).reshape(-1),
                 (imuroterr * th["w"][2]).reshape(-1),
                 (transvelerr * th["w"][3]).reshape(-1),
-            ])
+            ]
+            if reproj is not None:  # static (presence decides the program)
+                rerr = G.reproj_residual(nodes_, th["reproj"])
+                n_points = max(rerr.shape[1] // 2, 1)
+                blocks.append((rerr * (th["w4"] / n_points)).reshape(-1))
+            return jnp.concatenate(blocks)
 
         if bilevel == "implicit":
             from islam_tpu.pvgo.lm import lm_solve_implicit

@@ -57,6 +57,60 @@ class TestBilevelModes:
         assert np.abs(g_imp - g_unr).max() / max(denom, 1e-12) < 0.15
 
 
+def _make_reproj(seed=3, n=6):
+    """Tiny SparseReprojectionLoss consistent with the make_problem shapes
+    (B edges)."""
+    from islam_tpu.ops.dense_ba import SparseReprojectionLoss
+
+    H_, W_ = 16, 24
+    rng = np.random.default_rng(seed)
+    depth = (5.0 + rng.uniform(0, 1, (B, H_, W_))).astype(np.float32)
+    flow = (rng.normal(size=(B, 2, H_, W_)) * 0.5).astype(np.float32)
+    pts = np.stack([rng.uniform(2, W_ - 3, (B, n)),
+                    rng.uniform(2, H_ - 3, (B, n))], axis=-1).astype(np.float32)
+    eye = jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32)
+    return SparseReprojectionLoss(pts, depth, flow, 10.0, 10.0,
+                                  W_ / 2, H_ / 2, eye)
+
+
+class TestBilevelReproj:
+    """Round-4 advisor: implicit/unrolled modes must solve the SAME
+    lower-level objective as detached mode when a reprojection factor is
+    attached — previously residual_theta silently dropped the reproj block."""
+
+    W5 = (1.0, 0.1, 10.0, 0.1, 0.5)
+
+    def _solve(self, mode, vo_data, p, reproj):
+        trans_loss, rot_loss, nodes, vels, _ = run_pvgo(
+            p["gt_poses"].data, jnp.asarray(p["gt_vels"]),
+            vo_data, p["links"], p["dts"],
+            p["imu_drots"], p["imu_dtrans"], p["imu_dvels"],
+            loss_weight=self.W5, reproj=reproj, target="vo", bilevel=mode)
+        return jnp.sum(trans_loss) + jnp.sum(rot_loss), nodes
+
+    @pytest.mark.parametrize("mode", ["implicit", "unrolled"])
+    def test_same_objective_as_detached(self, mode):
+        p = make_problem(noise=0.02)
+        reproj = _make_reproj()
+        _, nodes_det = self._solve("detached", p["vo_motions"].data, p, reproj)
+        _, nodes_alt = self._solve(mode, p["vo_motions"].data, p, reproj)
+        np.testing.assert_allclose(np.asarray(nodes_alt),
+                                   np.asarray(nodes_det), atol=5e-3)
+        # and the reproj factor actually moves the solution: solving
+        # WITHOUT it must land elsewhere (guards against the block being
+        # dropped from BOTH paths)
+        _, nodes_no = self._solve(mode, p["vo_motions"].data, p, None)
+        assert np.abs(np.asarray(nodes_no) - np.asarray(nodes_alt)).max() > 1e-5
+
+    def test_implicit_grads_with_reproj(self):
+        p = make_problem(noise=0.02)
+        reproj = _make_reproj()
+        g = jax.grad(lambda v: self._solve("implicit", v, p, reproj)[0])(
+            p["vo_motions"].data)
+        g = np.asarray(g)
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
 class TestTrainStepBilevelWiring:
     """--bilevel reaches the jitted train step (round-4 task 6): the full
     imperative step compiles with implicit-mode coupling and its pose-head

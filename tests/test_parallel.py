@@ -66,6 +66,26 @@ class TestMultiSequenceTrainer:
                     np.asarray(t_ref._init_states[s][k]), atol=1e-4)
 
 
+class TestEpoch0ScanGuard:
+    def test_inference_epoch_with_scan_chunk_and_denoiser(self):
+        """Round-4 advisor (medium): epoch 0 ('' target) with scan_chunk>1
+        and dn_params present used to route through train_scan, which sets
+        trainable=dn_params while the step returns grads=None — a
+        trace-time crash.  The guard must fall through to the per-window
+        step for inference epochs."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        n = 2
+        from islam_tpu.imu import denoiser as dn
+        datasets = [testing.make_dataset(num_frames=5, height=64, width=128,
+                                         seed=s) for s in range(n)]
+        trainer = MultiSequenceTrainer(
+            datasets, batch_size=2, lr=3e-6, mesh=make_mesh(n),
+            dn_params=dn.init_params(jax.random.PRNGKey(1)))
+        losses = trainer.run_epoch(scan_chunk=2, epoch=0)  # '' target
+        assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
 class TestMultiSequenceTrainerProduction:
     """Driver-grade behaviors (VERDICT r2 weak #6): non-dividing scan_chunk
     tails reuse the per-window program, per-sequence snapshots, and
@@ -141,6 +161,35 @@ class TestMultiSequenceTrainerProduction:
                     np.asarray(t._init_states[s][k]))
         # resumed trainer keeps training (params replicated on the mesh)
         losses = t2.run_epoch()
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_resume_restores_denoiser_into_trainer_without_one(self,
+                                                               tmp_path):
+        """Round-4 advisor (low): resume() restoring dn_params into a
+        trainer constructed WITHOUT dn_params must also create the IMU
+        optimizer, or the next IMU epoch dies with AttributeError at
+        self.imu_opt.update."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        from islam_tpu.imu import denoiser as dn
+        datasets = [testing.make_dataset(num_frames=5, height=64, width=128,
+                                         seed=s) for s in range(2)]
+        t = MultiSequenceTrainer(
+            datasets, batch_size=2, lr=3e-6, mesh=make_mesh(2),
+            dn_params=dn.init_params(jax.random.PRNGKey(1)))
+        t.run_epoch(epoch=1)  # vo epoch caches motions for replay
+        t.save_models(str(tmp_path), 1)
+
+        datasets2 = [testing.make_dataset(num_frames=5, height=64,
+                                          width=128, seed=s)
+                     for s in range(2)]
+        t2 = MultiSequenceTrainer(  # NO dn_params at construction
+            datasets2, batch_size=2, lr=3e-6, mesh=make_mesh(2))
+        assert not hasattr(t2, "imu_opt")
+        t2.resume(str(tmp_path), start_epoch=2)
+        assert t2.dn_params is not None and hasattr(t2, "imu_opt")
+        t2.run_epoch(epoch=1)  # rebuild replay cache after resume
+        losses = t2.run_epoch(epoch=2)  # imu epoch: exercises imu_opt.update
         assert all(np.isfinite(l) for l in losses)
 
 

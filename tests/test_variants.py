@@ -149,6 +149,30 @@ class TestQuarterStereoHead:
                                    np.asarray(y_full[:, ::2, ::2]),
                                    atol=1e-5)
 
+    def test_convt2d_out_stride_pad_formula_sweep(self):
+        """Exact-output-size + right-pad formula sweep (round-4 advisor):
+        (k=5, s=2, p=2, os=2) genuinely requires pr=1 -- the old formula
+        under-padded by pb and tripped the shape assert; (k=4, s=2, p=2,
+        os=2) is the case where in*s//os OVER-counted the subsampled rows
+        (full output 2*in-2, not 2*in) and the under-pad used to silently
+        yield a garbage last row.  Truth is the full transposed conv
+        sampled [::os, ::os]."""
+        from islam_tpu.models.layers import ConvT2d
+
+        rng = np.random.default_rng(33)
+        a = jnp.asarray(rng.normal(size=(2, 9, 13, 5)), jnp.float32)
+        for k, s, p in ((5, 2, 2), (4, 2, 2), (3, 2, 1), (4, 2, 1),
+                        (6, 2, 2), (5, 2, 1)):
+            m_full = ConvT2d(6, k, s, p)
+            variables = m_full.init(jax.random.PRNGKey(5), a)
+            y_full = m_full.apply(variables, a)
+            for os_ in (2, 4):
+                y_n = ConvT2d(6, k, s, p, out_stride=os_).apply(variables, a)
+                np.testing.assert_allclose(
+                    np.asarray(y_n), np.asarray(y_full[:, ::os_, ::os_]),
+                    atol=1e-5,
+                    err_msg=f"k={k} s={s} p={p} out_stride={os_}")
+
 
 class TestResizeFastPaths:
     """The x2 / x1/2 half-pixel resizes take layout-native TPU paths
