@@ -76,6 +76,14 @@ def get_args(argv=None):
     parser.add_argument('--scan-chunk', type=int, default=0,
                         help='fuse K sequential windows into one jitted '
                              'lax.scan program (0/1 = per-window stepping)')
+    parser.add_argument('--frozen-bn-eval', action='store_true', default=False,
+                        help='run the frozen StereoNet BatchNorms with '
+                             'running averages (constant affine, fused by '
+                             'XLA) instead of batch statistics; only takes '
+                             'effect when stereo is in --fix-model-parts. '
+                             'Deviates from the reference, which keeps even '
+                             'frozen subnets in train-mode BN '
+                             '(TartanVO.py:91); see docs/PARITY.md')
     parser.add_argument('--eval-only', action='store_true', default=False,
                         help='inference: one forward+PVGO pass over the '
                              'trajectory (no gradients, no updates), '

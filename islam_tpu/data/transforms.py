@@ -122,7 +122,14 @@ class CropCenter:
 
 class Normalize:
     """Datasets/utils.py:190-228: /255 then per-channel (x - mean) / std;
-    keep_old stores the result under xxx_norm."""
+    keep_old stores the result under xxx_norm.
+
+    Fast path: for uint8 RGB inputs the fused native kernel
+    (native/preproc.cpp via islam_tpu.data.native) produces BOTH the /255
+    raw image and the normalized copy in one threaded C++ pass — exactly
+    the keep_old=True contract — avoiding numpy's float64 intermediates.
+    Disable with ISLAM_NO_NATIVE=1; the numpy path is the semantic oracle
+    (tests/test_data.py pins native == numpy)."""
 
     def __init__(self, mean=None, std=None, rgbbgr=False, keep_old=False):
         self.mean = mean
@@ -130,10 +137,39 @@ class Normalize:
         self.rgbbgr = rgbbgr
         self.keep_old = keep_old
 
+    def _native_path(self, sample, kk) -> bool:
+        import os
+        if self.rgbbgr or os.environ.get("ISLAM_NO_NATIVE") == "1":
+            return False
+        if not all(isinstance(d, np.ndarray) and d.dtype == np.uint8
+                   and d.ndim == 3 and d.shape[-1] == 3
+                   and d.shape == sample[kk][0].shape for d in sample[kk]):
+            return False
+        from islam_tpu.data import native
+        if not native.available():
+            return False
+        batch = np.stack(sample[kk])
+        want_norm = self.mean is not None and self.std is not None
+        raw, norm = native.preproc_batch(
+            batch, batch.shape[1:3],
+            self.mean if want_norm else (0.0, 0.0, 0.0),
+            self.std if want_norm else (1.0, 1.0, 1.0),
+            want_norm=want_norm)
+        rawl = list(raw)
+        out = list(norm) if norm is not None else rawl
+        if self.keep_old:
+            sample[kk] = rawl
+            sample[kk + '_norm'] = out
+        else:
+            sample[kk] = out
+        return True
+
     def __call__(self, sample):
         keys = list(sample.keys())
         for kk in keys:
             if not (kk.startswith('img0') or kk.startswith('img1')):
+                continue
+            if self._native_path(sample, kk):
                 continue
             datalist = []
             for s in range(len(sample[kk])):

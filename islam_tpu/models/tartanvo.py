@@ -56,7 +56,7 @@ def init_params(key: jax.Array, height: int = 448, width: int = 640,
     jax.jit,
     static_argnames=("datatype", "correct_scale", "use_kitti_coord",
                      "is_train", "has_given_scale", "has_precalc_flow",
-                     "bf16", "concat_free"))
+                     "bf16", "concat_free", "frozen_bn_eval"))
 def forward(variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
             intrinsic_calib, baseline,
             gt_motion=None, given_scale=None, precalc_flow=None,
@@ -64,7 +64,8 @@ def forward(variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
             datatype: str = "kitti", correct_scale: bool = False,
             use_kitti_coord: bool = True, is_train: bool = True,
             has_given_scale: bool = False, has_precalc_flow: bool = False,
-            bf16: bool = False, concat_free: bool = False):
+            bf16: bool = False, concat_free: bool = False,
+            frozen_bn_eval: bool = False):
     """Jitted TartanVO forward (TartanVO.py:90-198). All images NHWC.
 
     ``bf16`` runs the conv stack in bfloat16 (params cast at call time,
@@ -75,7 +76,8 @@ def forward(variables, img0, img1, img0_norm, img0_r_norm, intrinsic,
     Returns dict with 'motion' (B,7) SE3 data (+ flow/disp/scale extras for
     the stereo scale path).
     """
-    model = VONet(train_bn=is_train, concat_free=concat_free)
+    model = VONet(train_bn=is_train, concat_free=concat_free,
+                  frozen_bn_eval=frozen_bn_eval)
     if bf16:
         cast = lambda x: (x.astype(jnp.bfloat16)
                           if x is not None and x.dtype == jnp.float32 else x)

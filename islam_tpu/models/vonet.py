@@ -23,6 +23,14 @@ from islam_tpu.models.voflownet import VOFlowRes
 class VONet(nn.Module):
     train_bn: bool = True
     concat_free: bool = False  # PWC decoder without concat buffers
+    # Run the (always-frozen-in-the-presets) StereoNet's BatchNorms in
+    # eval mode even while training: running-average BN is a constant
+    # per-channel affine that XLA fuses into the conv epilogue, removing
+    # the batch-statistics reduction passes over the big (H/2, W/2)
+    # feature maps.  Deliberate deviation from the reference, which calls
+    # .train() on the whole vonet so even frozen subnets use batch
+    # statistics (TartanVO.py:91); see docs/PARITY.md.
+    frozen_bn_eval: bool = False
 
     def setup(self):
         self.flowNet = PWCDCNet(concat_free=self.concat_free)
@@ -31,8 +39,9 @@ class VONet(nn.Module):
         # F.interpolate(disp, scale_factor=0.25, mode='nearest')
         # (reference VONet.py:34) of the full-res output, at 1/16 the
         # deconv/head cost and without the full-res buffers.
-        self.stereoNet = StereoNet7(train_bn=self.train_bn,
-                                    quarter_output=True)
+        self.stereoNet = StereoNet7(
+            train_bn=self.train_bn and not self.frozen_bn_eval,
+            quarter_output=True)
         self.flowPoseNet = VOFlowRes(intrinsic=True, down_scale=True,
                                      config=1, stereo=0)
 

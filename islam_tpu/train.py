@@ -46,14 +46,14 @@ from islam_tpu.utils import checkpoints as ckpt
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
                      "rot_w", "trans_w", "bf16", "use_reproj",
-                     "concat_free", "bilevel"))
+                     "concat_free", "bilevel", "frozen_bn_eval"))
 def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
                prev_motions=None, bf16=False, use_reproj=False,
-               concat_free=False, bilevel="detached"):
+               concat_free=False, bilevel="detached", frozen_bn_eval=False):
     """One imperative step over a window of B frame-pairs.
 
     batch: dict of device arrays (img0, img1, img0_norm, img0_r_norm,
@@ -97,7 +97,7 @@ def train_step(vo_variables, dn_params, batch, imu_win, init_state,
                 datatype=datatype, correct_scale=correct_scale,
                 use_kitti_coord=use_kitti_coord, is_train=True,
                 has_given_scale=False, has_precalc_flow=False, bf16=bf16,
-                concat_free=concat_free)
+                concat_free=concat_free, frozen_bn_eval=frozen_bn_eval)
             motions = res["motion"]
             # camera -> IMU frame conjugation (train.py:214-215)
             T_IL = rgb2imu_pose
@@ -202,14 +202,14 @@ def _merge_pose_params(variables, pose_params):
     static_argnames=("target", "datatype", "correct_scale", "use_kitti_coord",
                      "denoise_accel", "denoise_gyro", "loss_weight",
                      "rot_w", "trans_w", "bf16", "use_reproj",
-                     "concat_free", "bilevel"))
+                     "concat_free", "bilevel", "frozen_bn_eval"))
 def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
                rgb2imu_pose, gravity, accel_bias, gyro_bias, subtract_bias,
                target="vo", datatype="kitti", correct_scale=False,
                use_kitti_coord=True, denoise_accel=True, denoise_gyro=True,
                loss_weight=(1., 1., 1., 1.), rot_w=1.0, trans_w=1.0,
                prev_motions=None, bf16=False, use_reproj=False,
-               concat_free=False, bilevel="detached"):
+               concat_free=False, bilevel="detached", frozen_bn_eval=False):
     """Fully-jitted chunk of K sequential windows (docs/TODO.md item 4).
 
     ``batches``/``imu_wins``/``prev_motions`` carry a leading (K, ...) window
@@ -220,6 +220,14 @@ def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
 
     Returns (losses (K,), grads summed over windows, aux stacked (K, ...)).
     """
+    if target not in ("vo", "imu"):
+        # The scan body accumulates grads with tree_map(add, ...), which
+        # requires a trainable target; inference epochs must use the
+        # per-window train_step (both trainers guard this — the check here
+        # makes the contract the function's own, not caller convention).
+        raise ValueError(
+            f"train_scan requires target 'vo' or 'imu', got {target!r}; "
+            "use train_step for inference epochs")
     trainable = (_get_pose_params(vo_variables) if target == "vo"
                  else dn_params)
     gacc0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
@@ -234,7 +242,8 @@ def train_scan(vo_variables, dn_params, batches, imu_wins, init_state,
             use_kitti_coord=use_kitti_coord, denoise_accel=denoise_accel,
             denoise_gyro=denoise_gyro, loss_weight=loss_weight,
             rot_w=rot_w, trans_w=trans_w, prev_motions=prev, bf16=bf16,
-            use_reproj=use_reproj, concat_free=concat_free, bilevel=bilevel)
+            use_reproj=use_reproj, concat_free=concat_free, bilevel=bilevel,
+            frozen_bn_eval=frozen_bn_eval)
         gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
         out_aux = {k: aux[k] for k in ("motions", "imu_poses", "imu_vels",
                                        "pgo_poses", "pgo_vels", "ok")}
@@ -317,6 +326,14 @@ class Trainer:
         # stereo are frozen structurally (only the pose head is optimized,
         # mirroring train.py:116); pose-head sub-parts freeze via masking.
         fix_parts = tuple(getattr(args, "fix_model_parts", ()) or ())
+        # Eval-mode BN for the frozen StereoNet (--frozen-bn-eval): the
+        # per-channel running-average affine fuses into the conv epilogue,
+        # removing the batch-statistics reductions (docs/PARITY.md
+        # deviation note).  Only applies when stereo is actually frozen —
+        # training stereo with frozen BN would silently stop updating its
+        # statistics.
+        self.frozen_bn_eval = bool(
+            getattr(args, "frozen_bn_eval", False) and "stereo" in fix_parts)
         pose_fix = {"feat": "feat_net", "rot": "rot_", "trans": "trans_"}
         frozen_prefixes = [pose_fix[p] for p in fix_parts if p in pose_fix]
         if frozen_prefixes:
@@ -382,6 +399,7 @@ class Trainer:
         grad_accum = None
         traj = _TrajLogs(init_state_np)
         epoch_motions = []
+        epoch_losses = []  # per-window upper-level losses, fetched lazily
         bad_windows = [0]  # nonfinite windows contained by _guard_nonfinite
 
         # Device-resident state carry + deferred bookkeeping: the next
@@ -447,14 +465,32 @@ class Trainer:
         # on this setup) for every distinct tail length, while the per-window
         # train_step the remainder falls through to compiles once and serves
         # any tail length.
+        K = scan_chunk if scanned else 1
+
+        def prepare_chunk(ci):
+            items = [prepare(ci * K + k) for k in range(K)]
+            return (jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *[it[0] for it in items]),
+                    jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *[it[1] for it in items]))
+
+        # Chunk-level prefetch: the NEXT chunk's K windows are loaded and
+        # H2D-transferred on a worker thread while the device executes the
+        # current scan program (round-4 review item 7 — previously the scan
+        # path prepared all K windows synchronously, serializing host prep
+        # against the device and losing the overlap the per-window path
+        # already had).
+        chunk_pf = Prefetcher(prepare_chunk) if use_prefetch else None
+        n_chunks = (n_batches // K) if scanned else 0
         while scanned and bi + scan_chunk <= n_batches:
             self.timer.tic("step")
-            K = scan_chunk
-            items = [prepare(bi + k) for k in range(K)]
-            batches = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[it[0] for it in items])
-            wins = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[it[1] for it in items])
+            ci = bi // K
+            if chunk_pf is not None and chunk_pf.pending(ci):
+                batches, wins = chunk_pf.take(ci)
+            else:
+                batches, wins = prepare_chunk(ci)
+            if chunk_pf is not None and ci + 1 < n_chunks:
+                chunk_pf.start(ci + 1)
             prev = None
             if target != "vo" and self.prev_vo_motions is not None:
                 prev = jnp.asarray(
@@ -474,9 +510,11 @@ class Trainer:
                 rot_w=args.rot_w, trans_w=args.trans_w,
                 prev_motions=prev, bf16=getattr(args, "bf16", False),
                 use_reproj=getattr(args, "reproj_points", 0) > 0,
-                bilevel=getattr(args, "bilevel", "detached"))
+                bilevel=getattr(args, "bilevel", "detached"),
+                frozen_bn_eval=self.frozen_bn_eval)
             init_state = aux.pop("carry")
             pending.append(aux)
+            epoch_losses.append(losses)  # (K,) device array, fetched lazily
             if grads is not None:
                 grad_accum = grads if grad_accum is None else (
                     jax.tree_util.tree_map(jnp.add, grad_accum, grads))
@@ -536,7 +574,8 @@ class Trainer:
                 rot_w=args.rot_w, trans_w=args.trans_w,
                 prev_motions=prev, bf16=getattr(args, "bf16", False),
                 use_reproj=getattr(args, "reproj_points", 0) > 0,
-                bilevel=getattr(args, "bilevel", "detached"))
+                bilevel=getattr(args, "bilevel", "detached"),
+                frozen_bn_eval=self.frozen_bn_eval)
 
             if profiling:
                 jax.block_until_ready(loss)
@@ -549,6 +588,7 @@ class Trainer:
             # ---- state carry stays on device (train.py:296-299) ----
             init_state = aux["carry"]
             pending.append(aux)
+            epoch_losses.append(loss)  # device scalar, fetched lazily
             self.timer.toc("step")
 
             if snapshot_dir and (bi < 10 or (
@@ -587,6 +627,11 @@ class Trainer:
                 self.imu_module.denoise_params = self.dn_params
 
         self.prev_vo_motions = np.concatenate(epoch_motions, axis=0)
+        # Per-window upper-level losses of this epoch (test/diagnostic
+        # surface: the imperative-improvement tests assert these decrease).
+        self.last_epoch_losses = [
+            float(x) for l in epoch_losses
+            for x in np.atleast_1d(np.asarray(l))]
         if snapshot_dir:
             traj.save(snapshot_dir, epoch)
         return traj
@@ -629,6 +674,17 @@ class Trainer:
             if dropped:
                 print(f"Checkpoint {directory}/{step} has no {dropped}; "
                       "restoring without them (fresh optimizer state)")
+            if "dn_params" in stored and "dn_params" not in template:
+                # Checkpoint carries a denoiser this trainer lacks: widen
+                # the template (fixed architecture -> fresh init provides
+                # the structure) rather than silently dropping it.
+                from islam_tpu.imu import denoiser as dn
+                tpl_dn = dn.init_params(jax.random.PRNGKey(0))
+                template["dn_params"] = tpl_dn
+                if "imu_opt_state" in stored:
+                    import optax
+                    template["imu_opt_state"] = optax.adam(
+                        getattr(self.args, "imu_lr", 3e-5)).init(tpl_dn)
         state = ckpt.restore_checkpoint(directory, step, template)
         self.vo_variables = state["vo_variables"]
         if state.get("vo_opt_state") is not None:
@@ -636,6 +692,10 @@ class Trainer:
         if state.get("dn_params") is not None:
             self.dn_params = state["dn_params"]
             self.imu_module.denoise_params = self.dn_params
+            if not hasattr(self, "imu_opt"):
+                import optax
+                self.imu_opt = optax.adam(getattr(self.args, "imu_lr", 3e-5))
+                self.imu_opt_state = self.imu_opt.init(self.dn_params)
         if state.get("imu_opt_state") is not None:
             self.imu_opt_state = state["imu_opt_state"]
         print(f"Resumed from {directory}/{step}")

@@ -257,3 +257,32 @@ class TestNativePreproc:
         np.testing.assert_allclose(
             norm, (crop - np.asarray(MEAN, np.float32))
             / np.asarray(STD, np.float32), atol=1e-5)
+
+    def test_normalize_transform_native_path(self, monkeypatch):
+        """The PRODUCTION call site (round-4 review item 5): Normalize in
+        the trainer's pipeline dispatches uint8 images to the fused native
+        kernel, and its output matches the numpy semantic oracle bit-for-
+        bit after the f32 cast — for keep_old both ways and mean=None."""
+        from islam_tpu.data import native
+        from islam_tpu.data.transforms import Normalize
+
+        if not native.available():
+            import pytest
+            pytest.skip("native preproc unavailable")
+
+        for kwargs in (dict(mean=MEAN, std=STD, keep_old=True),
+                       dict(mean=MEAN, std=STD, keep_old=False),
+                       dict(keep_old=True)):
+            imgs = [RNG.integers(0, 255, (32, 40, 3), dtype=np.uint8)]
+            s_nat = {"img0": [imgs[0].copy()], "img1": [imgs[0].copy()]}
+            s_np = {"img0": [imgs[0].copy()], "img1": [imgs[0].copy()]}
+            monkeypatch.delenv("ISLAM_NO_NATIVE", raising=False)
+            out_nat = Normalize(**kwargs)(s_nat)
+            monkeypatch.setenv("ISLAM_NO_NATIVE", "1")
+            out_np = Normalize(**kwargs)(s_np)
+            assert set(out_nat.keys()) == set(out_np.keys())
+            for kk in out_np:
+                a = np.asarray(out_nat[kk][0], np.float32)
+                b = np.asarray(out_np[kk][0], np.float32)
+                np.testing.assert_allclose(a, b, atol=1e-6, err_msg=kk)
+            assert out_nat["img0"][0].dtype == np.float32

@@ -146,6 +146,59 @@ class TestTrainerEpochs:
         assert poses.shape[1] == 7 and np.isfinite(poses).all()
 
 
+class TestImperativeImprovement:
+    """The system's headline claim (ref README.md:15,33): the bi-level loop
+    REDUCES trajectory error over epochs, not merely moves parameters
+    (round-4 review item 3).
+
+    Setup notes (measured on this box): with free-scale random nets the
+    POSE_STD-scaled pose head outputs near-zero translations and the loop
+    settles into a degenerate self-consistent equilibrium (loss -> 0, ATE
+    frozen) — the reference's improvement claim presupposes a sane VO
+    starting point.  --use-gt-scale gives translations the right magnitude
+    (one of the reference's own operating modes, TartanVO.py:118-127), and
+    then the IMU-pinned rotations (weight 10) give the upper loss a real
+    signal: measured ATE_pgo 0.0173 -> 0.0052 and loss 0.0057 -> 5e-5 over
+    8 epochs at lr 5e-4."""
+
+    N_EPOCHS = 4
+
+    @pytest.mark.parametrize("bilevel", ["detached", "implicit"])
+    def test_vo_epochs_reduce_ate_and_loss(self, bilevel):
+        from islam_tpu.utils.evaluation import ate_rmse
+
+        ds = testing.make_dataset(num_frames=4 * B + 1, height=H, width=W,
+                                  seed=5)
+
+        class Args:
+            batch_size = B
+            lr = 5e-4
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = True
+
+        Args.bilevel = bilevel
+        trainer = Trainer(Args(), ds)
+        gt = np.asarray(ds.poses)
+        ates, losses = [], []
+        for e in range(1, self.N_EPOCHS + 1):
+            traj = trainer.run_epoch(2 * e - 1)  # 'vo' target each epoch
+            pgo = np.stack(traj.pgo_poses)
+            ates.append(ate_rmse(pgo, gt[:len(pgo)]))
+            losses.append(sum(trainer.last_epoch_losses))
+
+        # material improvement, not noise: the best of the last two epochs
+        # must beat epoch 1 by >30% on ATE and >80% on epoch loss
+        # (measured margins are ~65% / ~95%)
+        assert min(ates[-2:]) < 0.7 * ates[0], (bilevel, ates)
+        assert min(losses[-2:]) < 0.2 * losses[0], (bilevel, losses)
+
+
 class TestTrainerOnDiskLoader:
     def test_epoch_over_tartanair_fixture(self, tmp_path):
         """Loader -> transforms -> Trainer integration over an ON-DISK
@@ -169,6 +222,92 @@ class TestTrainerOnDiskLoader:
         ])
         ds = TrajFolderDataset(datadir=root, datatype="tartanair",
                                transform=transform)
+
+        class Args:
+            batch_size = B
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        trainer = Trainer(Args(), ds)
+        trainer.run_epoch(1, snapshot_dir=str(tmp_path / "out"))
+        poses = np.loadtxt(tmp_path / "out" / "1" / "pgo_pose.txt")
+        assert poses.shape[1] == 7 and np.isfinite(poses).all()
+        assert len(poses) == len(ds) // B * B + 1
+
+
+    def test_epoch_over_kitti_fixture(self, tmp_path):
+        """Loader -> transforms -> Trainer epoch off an ON-DISK KITTI
+        drive fixture (round-4 review item 6: the OXTS/calib/timestamp glue
+        — rgb2imu realignment, baseline from P_rect offsets — was only
+        unit-tested, never driven through a full epoch)."""
+        from test_data import make_kitti_fixture
+
+        from islam_tpu.data.dataset import TrajFolderDataset
+        from islam_tpu.data.transforms import (Compose, CropCenter,
+                                               DownscaleFlow, Normalize,
+                                               ToNHWCTensor)
+
+        root = str(tmp_path / "2011_09_30" / "2011_09_30_drive_0018_sync")
+        make_kitti_fixture(root, n=7, h=96, w=192)
+        transform = Compose([
+            CropCenter((64, 128), fix_ratio=True),
+            DownscaleFlow(),
+            Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225],
+                      keep_old=True),
+            ToNHWCTensor(),
+        ])
+        ds = TrajFolderDataset(datadir=root, datatype="kitti",
+                               transform=transform)
+        assert len(ds) >= 2 * B  # at least two windows
+
+        class Args:
+            batch_size = B
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        trainer = Trainer(Args(), ds)
+        trainer.run_epoch(1, snapshot_dir=str(tmp_path / "out"))
+        poses = np.loadtxt(tmp_path / "out" / "1" / "pgo_pose.txt")
+        assert poses.shape[1] == 7 and np.isfinite(poses).all()
+        assert len(poses) == len(ds) // B * B + 1
+
+    def test_epoch_over_euroc_fixture(self, tmp_path):
+        """Loader -> transforms -> Trainer epoch off an ON-DISK EuRoC mav0
+        fixture (stereo rectification maps + timestamp intersection + T_BS
+        driven end-to-end)."""
+        from test_data import make_euroc_fixture
+
+        from islam_tpu.data.dataset import TrajFolderDataset
+        from islam_tpu.data.transforms import (Compose, CropCenter,
+                                               DownscaleFlow, Normalize,
+                                               ToNHWCTensor)
+
+        root = str(tmp_path / "mav0")
+        make_euroc_fixture(root, n=7, h=96, w=192)
+        transform = Compose([
+            CropCenter((64, 128), fix_ratio=True),
+            DownscaleFlow(),
+            Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225],
+                      keep_old=True),
+            ToNHWCTensor(),
+        ])
+        ds = TrajFolderDataset(datadir=root, datatype="euroc",
+                               transform=transform)
+        assert len(ds) >= 2 * B
 
         class Args:
             batch_size = B
