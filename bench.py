@@ -51,7 +51,10 @@ try:
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # 1 s threshold: the setup path dispatches several medium programs
+    # (jitted flax init, window stacks, on-device random gen) whose ~1-4 s
+    # remote compiles add up across fresh processes if not persisted.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
 
@@ -170,7 +173,6 @@ def run(quick: bool, bf16: bool, scan: bool = False,
     imu = testing.make_imu_module(ds, batch_frames=b)
     variables = tvo.init_params(jax.random.PRNGKey(0), h, w)
     dn_params = dn.init_params(jax.random.PRNGKey(1))
-    batch, win, init = testing.make_step_inputs(ds, imu, 0, b)
 
     kwargs = dict(
         target="vo", datatype="kitti", correct_scale=False,
@@ -178,9 +180,11 @@ def run(quick: bool, bf16: bool, scan: bool = False,
         loss_weight=(1.0, 0.1, 10.0, 0.1), rot_w=1.0, trans_w=0.1,
         bf16=bf16, concat_free=concat_free, frozen_bn_eval=frozen_bn_eval)
 
-    args = (variables, dn_params, batch, win, init,
-            jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
-            imu.gravity, imu.accel_bias, imu.gyro_bias, jnp.asarray(False))
+    consts = (jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
+              imu.gravity, imu.accel_bias, imu.gyro_bias, jnp.asarray(False))
+    if not scan:
+        batch, win, init = testing.make_step_inputs(ds, imu, 0, b)
+        args = (variables, dn_params, batch, win, init, *consts)
 
     metric = ("full iSLAM iteration (VO fwd + IMU + PVGO LM + backprop), "
               f"bs={b}, {h}x{w}, {'bf16' if bf16 else 'f32'}, "
@@ -231,17 +235,62 @@ def run(quick: bool, bf16: bool, scan: bool = False,
         # must be genuinely DISTINCT data: with identical slices XLA hoists
         # the loop-invariant VO forward out of the scan body and the
         # "throughput" becomes fiction (measured 180x).
+        # The big image tensors are generated ON DEVICE (jax.random): the
+        # axon tunnel moves ~20 MB/s at best and pays a multi-minute
+        # first-touch warmup after idling, so shipping the ~1.2 GB of
+        # window images from the host blows the driver budget by itself
+        # (measured: 27.5 MB first H2D = 262 s cold, 22.5 MB/s after;
+        # on-device generation of the same 1.1 GB = 2 s).  Host-side we
+        # ship only the small per-window fields, mirroring
+        # testing.device_batch's structure so the compiled train_scan
+        # program (and its .jax_cache entry) is byte-identical.
+        from islam_tpu.data.dataset import collate
+        from islam_tpu.imu.preintegrator import IMUState
+
         sds = testing.make_dataset(num_frames=ITERS * b + 1,
                                    height=h, width=w)
         simu = testing.make_imu_module(sds, batch_frames=b)
-        items = [testing.make_step_inputs(sds, simu, k * b, b)
-                 for k in range(ITERS)]
+
+        def small_fields(start):
+            sample = collate([sds[i] for i in range(start, start + b)])
+            sb = {}
+            for k2 in ("intrinsic", "intrinsic_calib", "extrinsic",
+                       "motion"):
+                if k2 in sample:
+                    sb[k2] = jnp.asarray(sample[k2])
+            links = np.asarray(sample["link"]) - start
+            sb["links"] = jnp.asarray(links)
+            sb["dts"] = jnp.asarray(np.asarray(sample["dt"], np.float32))
+            return sb
+
+        small = [small_fields(k * b) for k in range(ITERS)]
+        wins = [simu.window_inputs(k * b, (k + 1) * b)
+                for k in range(ITERS)]
         sbatch = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[it[0] for it in items])
+            lambda *xs: jnp.stack(xs), *small)
         swin = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[it[1] for it in items])
-        sargs = (variables, dn_params, sbatch, swin, items[0][2],
-                 args[5], args[6], args[7], args[8], args[9])
+            lambda *xs: jnp.stack(xs), *wins)
+        keys = jax.random.split(jax.random.PRNGKey(7), 5)
+        sbatch["img0"] = jax.random.uniform(
+            keys[0], (ITERS, b, h, w, 3), jnp.float32)
+        sbatch["img1"] = jax.random.uniform(
+            keys[1], (ITERS, b, h, w, 3), jnp.float32)
+        sbatch["img0_norm"] = jax.random.normal(
+            keys[2], (ITERS, b, h, w, 3), jnp.float32)
+        sbatch["img0_r_norm"] = jax.random.normal(
+            keys[3], (ITERS, b, h, w, 3), jnp.float32)
+        # consecutive-pair windows ship B+1 shared frames (device_batch)
+        sbatch["frames"] = jax.random.uniform(
+            keys[4], (ITERS, b + 1, h, w, 3), jnp.float32)
+        init = sds.imu_init
+        init0 = IMUState(
+            pos=jnp.asarray(np.asarray(init["pos"]), jnp.float32),
+            rot=jnp.asarray(np.asarray(init["rot"]), jnp.float32),
+            vel=jnp.asarray(np.asarray(init["vel"]), jnp.float32))
+        sargs = (variables, dn_params, sbatch, swin, init0, *consts)
+        print(f"data ready ({elapsed():.0f}s); tracing+compiling (cold "
+              f"compile >20 min; cached ~seconds)", file=sys.stderr,
+              flush=True)
         for _ in range(WARMUP):
             losses, grads, aux = train_scan(*sargs, **kwargs)
             np.asarray(losses)  # value fetch: axon's block_until_ready can

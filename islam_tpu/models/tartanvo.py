@@ -36,7 +36,15 @@ DISP_TH = {"kitti": 5.0, "tartanair": 1.0, "euroc": 1.0}
 
 def init_params(key: jax.Array, height: int = 448, width: int = 640,
                 train_bn: bool = True):
-    """Initialize VONet parameters (+ batch stats) with dummy shapes."""
+    """Initialize VONet parameters (+ batch stats) with dummy shapes.
+
+    ``model.init`` is wrapped in jax.jit: flax does NOT jit init by
+    default, so un-jitted it dispatches hundreds of small eager ops —
+    each a separate remote round-trip on the tunneled-TPU backend whose
+    per-op compiles fall under the persistent-cache threshold, costing
+    minutes in EVERY fresh process (the hidden reason round-5 "warm"
+    bench runs still blew the driver budget).  Jitted, init is one
+    program: compiled once, persisted in .jax_cache, ~ms afterwards."""
     model = VONet(train_bn=train_bn)
     h4, w4 = height // 4, width // 4
     dummy = {
@@ -46,9 +54,9 @@ def init_params(key: jax.Array, height: int = 448, width: int = 640,
         "img0_r_norm": jnp.zeros((1, height, width, 3)),
         "intrinsic": jnp.zeros((1, h4, w4, 2)),
     }
-    variables = model.init(key, dummy["img0"], dummy["img1"],
-                           dummy["img0_norm"], dummy["img0_r_norm"],
-                           dummy["intrinsic"])
+    variables = jax.jit(model.init)(
+        key, dummy["img0"], dummy["img1"],
+        dummy["img0_norm"], dummy["img0_r_norm"], dummy["intrinsic"])
     return variables
 
 

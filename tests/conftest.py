@@ -21,7 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 # Persist slow XLA:CPU compiles (the 320x576 oracle suites take ~10 min of
 # compile each) so repeated test runs on this one-core box skip them.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
+# 5 s: also persist the medium programs (jitted flax init — one program
+# per model/shape since init_params wraps model.init in jax.jit) so each
+# test process pays them once, not every run.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 @pytest.fixture(autouse=True, scope="module")
