@@ -268,6 +268,37 @@ class TestStereoNetParity:
         ref = tdisp.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(np.asarray(disp), ref, atol=2e-3)
 
+    @needs_oracle
+    def test_forward_matches_torch_eval_bn(self):
+        """--frozen-bn-eval semantics (docs/PARITY.md C8): running-average
+        BN must match torch's .eval() forward.  The running stats are made
+        nontrivial by a train-mode torch forward before the export."""
+        from Network.StereoNet7 import StereoNet7 as TorchStereo
+        from islam_tpu.models.stereonet import StereoNet7
+        from islam_tpu.utils.checkpoints import import_torch_weights
+
+        torch.manual_seed(2)
+        tmodel = TorchStereo()
+        rng = np.random.default_rng(6)
+        warm = rng.normal(size=(1, 6, 256, 320)).astype(np.float32) * 0.3
+        tmodel.train()
+        with torch.no_grad():  # moves running_mean/var off their init
+            tmodel(torch.tensor(warm))
+        tmodel.eval()
+        sd = to_numpy_sd(tmodel)
+
+        model = StereoNet7(train_bn=False)
+        x = rng.normal(size=(1, 256, 320, 6)).astype(np.float32) * 0.3
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        variables = import_torch_weights(variables, sd)
+
+        (disp, _) = model.apply(variables, jnp.asarray(x))
+        with torch.no_grad():
+            tdisp, _ = tmodel(torch.tensor(
+                np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        ref = tdisp.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(disp), ref, atol=2e-3)
+
 
 class TestDenoiserParity:
     @needs_oracle
