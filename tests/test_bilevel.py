@@ -149,3 +149,30 @@ class TestTrainStepBilevelWiring:
         assert np.abs(gi - gd).max() > 1e-9, (
             "implicit-mode gradients are identical to detached-mode's; "
             "the bilevel flag is not reaching run_pvgo")
+
+    def test_train_step_unrolled(self):
+        """The third coupling mode through the FULL jitted step: unrolled
+        GN iterations, reverse-differentiated end to end."""
+        from islam_tpu import testing
+        from islam_tpu.models import tartanvo as tvo
+        from islam_tpu.train import train_step
+
+        H, W, B = 64, 128, 2
+        ds = testing.make_dataset(num_frames=B + 1, height=H, width=W)
+        imu = testing.make_imu_module(ds, batch_frames=B)
+        variables = tvo.init_params(jax.random.PRNGKey(0), H, W)
+        batch, win, init = testing.make_step_inputs(ds, imu, 0, B)
+        args = (jnp.asarray(np.asarray(ds.rgb2imu_pose), jnp.float32),
+                imu.gravity, imu.accel_bias, imu.gyro_bias,
+                jnp.asarray(False))
+        common = dict(target="vo", datatype="kitti", correct_scale=False,
+                      use_kitti_coord=True, denoise_accel=True,
+                      denoise_gyro=False, loss_weight=(1.0, 0.1, 10.0, 0.1),
+                      rot_w=1.0, trans_w=0.1)
+        loss_u, grads_u, aux_u = train_step(
+            variables, None, batch, win, init, *args,
+            bilevel="unrolled", **common)
+        assert np.isfinite(float(loss_u)) and bool(aux_u["ok"])
+        gu = np.concatenate([np.asarray(g).ravel() for g in
+                             jax.tree_util.tree_leaves(grads_u)])
+        assert np.isfinite(gu).all() and np.abs(gu).sum() > 0

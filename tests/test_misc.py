@@ -128,6 +128,46 @@ class TestResume:
 
         assert latest_checkpoint_step(str(tmp_path), 5) is None
 
+    def test_resume_restores_denoiser_into_trainer_without_one(self,
+                                                               tmp_path):
+        """Round-4 advisor (single-chip variant): a checkpoint carrying a
+        denoiser restored into a Trainer built without one must widen the
+        restore template (not silently drop the denoiser) and create the
+        IMU optimizer so the next imu epoch can update."""
+        import jax
+        from islam_tpu import testing
+        from islam_tpu.imu import denoiser as dn
+        from islam_tpu.train import Trainer
+
+        ds = testing.make_dataset(num_frames=3, height=64, width=128)
+
+        class Args:
+            batch_size = 2
+            lr = 3e-6
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        t1 = Trainer(Args(), ds)
+        t1.dn_params = dn.init_params(jax.random.PRNGKey(7))
+        import optax
+        t1.imu_opt = optax.adam(3e-5)
+        t1.imu_opt_state = t1.imu_opt.init(t1.dn_params)
+        t1.save_models(str(tmp_path), 1)
+
+        t2 = Trainer(Args(), ds)  # no denoiser at construction
+        assert t2.dn_params is None and not hasattr(t2, "imu_opt")
+        assert t2.resume(str(tmp_path), start_epoch=2) == 1
+        assert t2.dn_params is not None and hasattr(t2, "imu_opt")
+        for a, b in zip(jax.tree_util.tree_leaves(t1.dn_params),
+                        jax.tree_util.tree_leaves(t2.dn_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
     def test_resume_params_only_checkpoint(self, tmp_path, capsys):
         """A params-only save (older format / imported weights) restores the
         params and keeps fresh optimizer state, chosen by inspecting the
