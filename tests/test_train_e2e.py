@@ -198,6 +198,66 @@ class TestImperativeImprovement:
         assert min(ates[-2:]) < 0.7 * ates[0], (bilevel, ates)
         assert min(losses[-2:]) < 0.2 * losses[0], (bilevel, losses)
 
+    def test_imu_epochs_denoiser_removes_injected_bias(self):
+        """The IMU half of the imperative claim: with a constant accel
+        bias injected into the synthetic IMU (zero-mean 100 Hz noise
+        integrates away; a bias compounds), IMU-target epochs against
+        replayed GT VO motions teach the denoiser to remove it — the RAW
+        IMU trajectory's ATE and the epoch loss both drop monotonically
+        (measured over 10 epochs at imu_lr 1e-3: ate_imu 0.0101 ->
+        0.0065, loss -67%)."""
+        from scipy.spatial.transform import Rotation as R
+
+        from islam_tpu.imu import denoiser as dnet
+        from islam_tpu.utils.evaluation import ate_rmse
+
+        ds = testing.make_dataset(num_frames=4 * B + 1, height=H, width=W,
+                                  seed=9)
+        rng = np.random.default_rng(1)
+        ds.accels = (ds.accels + np.array([0.6, -0.4, 0.3], np.float32)
+                     + 0.05 * rng.standard_normal(ds.accels.shape)
+                     ).astype(np.float32)
+
+        P = np.asarray(ds.poses, np.float64)
+        motions = np.empty((len(ds.poses) - 1, 7), np.float32)
+        for i in range(len(motions)):
+            Ra, Rb = R.from_quat(P[i, 3:]), R.from_quat(P[i + 1, 3:])
+            motions[i, :3] = Ra.inv().apply(P[i + 1, :3] - P[i, :3])
+            motions[i, 3:] = (Ra.inv() * Rb).as_quat()
+
+        class Args:
+            batch_size = B
+            lr = 3e-6
+            imu_lr = 1e-3
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = False
+
+        import optax
+        trainer = Trainer(Args(), ds)
+        trainer.dn_params = dnet.init_params(jax.random.PRNGKey(3))
+        trainer.imu_module.denoise_params = trainer.dn_params
+        trainer.imu_opt = optax.adam(Args.imu_lr)
+        trainer.imu_opt_state = trainer.imu_opt.init(trainer.dn_params)
+
+        gt = np.asarray(ds.poses)
+        ates, losses = [], []
+        for _ in range(6):
+            trainer.prev_vo_motions = motions  # replay GT VO each epoch
+            traj = trainer.run_epoch(2)  # 'imu' target
+            imu_traj = np.stack(traj.imu_poses)
+            ates.append(ate_rmse(imu_traj, gt[:len(imu_traj)]))
+            losses.append(sum(trainer.last_epoch_losses))
+
+        # measured at epoch 6: ate ratio 0.70, loss ratio 0.39
+        assert ates[-1] < 0.85 * ates[0], ates
+        assert losses[-1] < 0.6 * losses[0], losses
+
 
 class TestTrainerOnDiskLoader:
     def test_epoch_over_tartanair_fixture(self, tmp_path):
