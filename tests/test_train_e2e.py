@@ -198,6 +198,51 @@ class TestImperativeImprovement:
         assert min(ates[-2:]) < 0.7 * ates[0], (bilevel, ates)
         assert min(losses[-2:]) < 0.2 * losses[0], (bilevel, losses)
 
+    def test_alternating_schedule_improves_fused_trajectory(self):
+        """The PRODUCTION alternating schedule (vo, imu, vo, imu, ... —
+        reference train.py:151) with BOTH imperfections at once: random
+        nets (gt-scale mode) AND a constant accel bias.  The fused PGO
+        trajectory must improve materially over the first vo epoch
+        (measured: ate_pgo 0.0173 -> 0.0041..0.0063 across epochs 5-8)."""
+        from islam_tpu.imu import denoiser as dnet
+        from islam_tpu.utils.evaluation import ate_rmse
+
+        ds = testing.make_dataset(num_frames=4 * B + 1, height=H, width=W,
+                                  seed=5)
+        rng = np.random.default_rng(1)
+        ds.accels = (ds.accels + np.array([0.6, -0.4, 0.3], np.float32)
+                     + 0.05 * rng.standard_normal(ds.accels.shape)
+                     ).astype(np.float32)
+
+        class Args:
+            batch_size = B
+            lr = 5e-4
+            imu_lr = 1e-3
+            vo_optimizer = "adam"
+            vo_model_name = ""
+            pose_model_name = ""
+            imu_denoise_model_name = ""
+            loss_weight = (1.0, 0.1, 10.0, 0.1)
+            rot_w = 1.0
+            trans_w = 0.1
+            use_gt_scale = True
+
+        import optax
+        trainer = Trainer(Args(), ds)
+        trainer.dn_params = dnet.init_params(jax.random.PRNGKey(3))
+        trainer.imu_module.denoise_params = trainer.dn_params
+        trainer.imu_opt = optax.adam(Args.imu_lr)
+        trainer.imu_opt_state = trainer.imu_opt.init(trainer.dn_params)
+
+        gt = np.asarray(ds.poses)
+        ates = []
+        for e in range(1, 7):
+            traj = trainer.run_epoch(e)  # '', vo, imu alternation by index
+            pgo = np.stack(traj.pgo_poses)
+            ates.append(ate_rmse(pgo, gt[:len(pgo)]))
+        # epochs 5/6 (third vo pass + its replay) vs epoch 1
+        assert min(ates[-2:]) < 0.6 * ates[0], ates
+
     def test_imu_epochs_denoiser_removes_injected_bias(self):
         """The IMU half of the imperative claim: with a constant accel
         bias injected into the synthetic IMU (zero-mean 100 Hz noise
